@@ -1,0 +1,225 @@
+"""Device (TPU) prime-field arithmetic: batched Montgomery limb kernels.
+
+`DeviceField` wraps a host `FieldSpec` with jittable, batch-vectorized
+arithmetic on (..., L) uint32 limb arrays in Montgomery form. This is the
+framework's replacement for arkworks' `ark-ff` Montgomery backend (the math
+substrate the whole reference stack sits on — SURVEY.md §2.1); unlike the
+reference, elements are vectors over TPU lanes, and every op is shaped for
+XLA: static shapes, python-unrolled limb loops, lax.scan carry chains.
+
+All public ops take/return *canonical* (fully carry-propagated, < p) limbs in
+Montgomery form unless noted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..host.field import FieldSpec
+from .limbs import (
+    BASE_BITS,
+    MASK,
+    carry_propagate,
+    geq,
+    int_to_limbs,
+    ints_to_limbs,
+    limbs_to_ints,
+    nlimbs_for,
+)
+
+
+class DeviceField:
+    """Batched Montgomery arithmetic over spec.modulus with 16-bit limbs."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        p = spec.modulus
+        self.L = nlimbs_for(spec.bits)
+        assert spec.bits <= 16 * self.L - 1, "need headroom: 2p < R"
+        self.R = (1 << (BASE_BITS * self.L)) % p
+        self.R2 = self.R * self.R % p
+        self.n0 = int((-pow(p, -1, 1 << BASE_BITS)) % (1 << BASE_BITS))
+        R_full = 1 << (BASE_BITS * self.L)
+        self.nprime_limbs = int_to_limbs((-pow(p, -1, R_full)) % R_full, self.L)
+        self.p_limbs = int_to_limbs(p, self.L)
+        self.r_limbs = int_to_limbs(self.R, self.L)  # = one in Montgomery form
+        self.r2_limbs = int_to_limbs(self.R2, self.L)
+        self.one_raw = int_to_limbs(1, self.L)
+        # jit the hot entry points (ops compose fine when already inside jit;
+        # nested jit is inlined by the tracer)
+        self.add = jax.jit(self.add)
+        self.sub = jax.jit(self.sub)
+        self.neg = jax.jit(self.neg)
+        self.mul = jax.jit(self.mul)
+        self.sqr = jax.jit(self.sqr)
+        self.inv = jax.jit(self.inv)
+        self.batch_inv = jax.jit(self.batch_inv)
+        self.to_mont = jax.jit(self.to_mont)
+        self.from_mont = jax.jit(self.from_mont)
+        self.pow_fixed = jax.jit(self.pow_fixed, static_argnums=1)
+
+    # ------------- constants as jnp -------------
+    def zeros(self, batch_shape=()) -> jnp.ndarray:
+        return jnp.zeros((*batch_shape, self.L), jnp.uint32)
+
+    def ones(self, batch_shape=()) -> jnp.ndarray:
+        return jnp.broadcast_to(
+            jnp.asarray(self.r_limbs), (*batch_shape, self.L)
+        ).astype(jnp.uint32)
+
+    def const(self, value: int, batch_shape=()) -> jnp.ndarray:
+        """Canonical int -> Montgomery-form constant."""
+        v = value % self.spec.modulus * self.R % self.spec.modulus
+        return jnp.broadcast_to(
+            jnp.asarray(int_to_limbs(v, self.L)), (*batch_shape, self.L)
+        ).astype(jnp.uint32)
+
+    # ------------- canonicalization -------------
+    def _cond_sub_p(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x in [0, 2p) canonical limbs -> x mod p."""
+        mask = geq(x, jnp.asarray(self.p_limbs))
+        d = x.astype(jnp.int32) - jnp.asarray(self.p_limbs.astype(np.int32))
+        d = carry_propagate(d, signed=True)
+        return jnp.where(mask[..., None], d, x)
+
+    # ------------- add/sub/neg -------------
+    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        s = carry_propagate(a + b)  # limbs < 2^17, no final carry (2p < R)
+        return self._cond_sub_p(s)
+
+    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        d = a.astype(jnp.int32) + jnp.asarray(self.p_limbs.astype(np.int32)) - b.astype(jnp.int32)
+        d = carry_propagate(d, signed=True)  # in [0, 2p)
+        return self._cond_sub_p(d)
+
+    def neg(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.sub(self.zeros(a.shape[:-1]), a)
+
+    def is_zero(self, a: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == b, axis=-1)
+
+    # ------------- multiplication -------------
+    @staticmethod
+    def _skew_sum(rows: jnp.ndarray, shift0: int) -> jnp.ndarray:
+        """Sum rows[..., i, :] into columns at offset i+shift0.
+
+        rows: (..., L, L). Returns (..., 2L) lazy column sums (< 2L*2^16).
+        Uses the pad-flatten-reshape shear trick — no scatter, tiny trace.
+        """
+        L = rows.shape[-1]
+        width = 2 * L + 1
+        pad = [(0, 0)] * (rows.ndim - 1) + [(shift0, width - L - shift0)]
+        padded = jnp.pad(rows, pad)  # (..., L, 2L+1)
+        flat = padded.reshape(*rows.shape[:-2], L * width)[..., : L * 2 * L]
+        return flat.reshape(*rows.shape[:-2], L, 2 * L).sum(axis=-2)
+
+    def _school_product(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Full 2L-limb product, canonical limbs. a,b canonical (..., L)."""
+        outer = a[..., :, None] * b[..., None, :]  # exact: (2^16-1)^2 < 2^32
+        cols = self._skew_sum(outer & MASK, 0) + self._skew_sum(
+            outer >> BASE_BITS, 1
+        )
+        # column sums < 2 * L * 2^16 <= 2^21.6 — safe; resolve carries once
+        return carry_propagate(cols)
+
+    def _mul_mod_R(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """(a*b) mod R: canonical low L limbs of the product."""
+        return self._school_product(a, b)[..., : self.L]
+
+    def _mont_reduce(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery-reduce canonical 2L limbs (value < R*p) to t*R^-1 mod p.
+
+        Separated-operand (SOS) form: m = (t mod R) * (-p^-1 mod R) mod R;
+        out = (t + m*p) / R. Fully vectorized — no per-limb recurrence.
+        """
+        L = self.L
+        m = self._mul_mod_R(t[..., :L], jnp.asarray(self.nprime_limbs))
+        mp = self._school_product(m, jnp.asarray(self.p_limbs))
+        s = carry_propagate(t + mp)  # t+mp < 2Rp < 2^(32L); limbs < 2^17
+        return self._cond_sub_p(s[..., L:])  # low half is 0; value < 2p
+
+    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product: (a*b*R^-1) mod p."""
+        return self._mont_reduce(self._school_product(a, b))
+
+    def sqr(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.mul(a, a)
+
+    # ------------- exponentiation / inversion -------------
+    def pow_fixed(self, a: jnp.ndarray, e: int) -> jnp.ndarray:
+        """a^e for a *static* Python-int exponent (trace-compact fori_loop)."""
+        if e == 0:
+            return self.ones(a.shape[:-1])
+        nbits = e.bit_length()
+        bits = jnp.asarray(
+            np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+        )
+        one = self.ones(a.shape[:-1])
+
+        def body(i, state):
+            r, base = state
+            r = jnp.where(bits[i][..., None].astype(bool), self.mul(r, base), r)
+            base = self.sqr(base)
+            return r, base
+
+        r, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+        return r
+
+    def inv(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Fermat inversion; a must be nonzero (0 maps to 0)."""
+        return self.pow_fixed(a, self.spec.modulus - 2)
+
+    def batch_inv(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery-trick batch inversion along axis 0; zeros -> zeros.
+
+        Cost: 2 associative scans (O(log N) depth) + one Fermat inversion of a
+        single element — the device-friendly replacement for arkworks'
+        sequential `batch_inversion`.
+        """
+        z = self.is_zero(a)
+        x = jnp.where(z[..., None], self.ones(a.shape[:-1]), a)
+        prefix = jax.lax.associative_scan(self.mul, x, axis=0)
+        suffix = jax.lax.associative_scan(self.mul, x, axis=0, reverse=True)
+        total_inv = self.inv(prefix[-1])
+        n = a.shape[0]
+        left = jnp.concatenate([self.ones((1, *a.shape[1:-1])), prefix[: n - 1]], 0)
+        right = jnp.concatenate([suffix[1:], self.ones((1, *a.shape[1:-1]))], 0)
+        out = self.mul(self.mul(left, right), total_inv)
+        return jnp.where(z[..., None], self.zeros(a.shape[:-1]), out)
+
+    # ------------- Montgomery conversion -------------
+    def to_mont(self, raw: jnp.ndarray) -> jnp.ndarray:
+        return self.mul(raw, jnp.asarray(self.r2_limbs))
+
+    def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self._mont_reduce(
+            jnp.concatenate([a, jnp.zeros_like(a)], axis=-1)
+        )
+
+    # ------------- host <-> device -------------
+    def encode(self, ints) -> jnp.ndarray:
+        """List/iterable of Python ints -> (N, L) Montgomery-form device array."""
+        raw = jnp.asarray(ints_to_limbs([x % self.spec.modulus for x in ints], self.L))
+        return self.to_mont(raw)
+
+    def encode_scalar(self, x: int) -> jnp.ndarray:
+        return self.encode([x])[0]
+
+    def decode(self, a: jnp.ndarray) -> list[int]:
+        """(..., L) Montgomery-form -> canonical Python ints."""
+        return limbs_to_ints(np.asarray(jax.device_get(self.from_mont(a))))
+
+    def decode_scalar(self, a: jnp.ndarray) -> int:
+        return self.decode(a.reshape(1, -1))[0]
+
+
+@functools.lru_cache(maxsize=None)
+def device_field(spec: FieldSpec) -> DeviceField:
+    return DeviceField(spec)
