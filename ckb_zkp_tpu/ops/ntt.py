@@ -1,0 +1,158 @@
+"""Radix-2 NTT (finite-field FFT) evaluation domains on device.
+
+Replaces arkworks' `GeneralEvaluationDomain` as used by the reference's QAP
+witness map and AHP provers (/root/reference/groth16/src/r1cs_to_qap.rs:144-170,
+/root/reference/marlin/src/ahp/prover.rs:160-204). TPU-first design:
+
+- iterative DIF stages expressed as reshape/stack (no scatter), output in
+  bit-reversed order fixed by one static gather;
+- twiddle tables built on device by repeated doubling (log n batched muls);
+- coset ops exploit Z(g*w^i) = g^n - 1 being constant on the coset, so the
+  vanishing division is a single batched scalar mul (same trick the reference
+  relies on, r1cs_to_qap.rs:164-169);
+- Lagrange-coefficient evaluation is a batched formula + one batch inversion.
+
+All polynomial data is (n, L) uint32 Montgomery limbs over Fr.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..host.field import FieldSpec
+from .field import DeviceField
+
+
+def _bitrev_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    out = np.zeros_like(idx)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out.astype(np.int32)
+
+
+class Domain:
+    """Multiplicative subgroup of size n (power of two) of Fr^*."""
+
+    def __init__(self, df: DeviceField, n: int):
+        assert n >= 1 and (n & (n - 1)) == 0
+        spec = df.spec
+        self.df = df
+        self.n = n
+        p = spec.modulus
+        self.omega = spec.root_of_unity(n)
+        self.omega_inv = pow(self.omega, -1, p) if n > 1 else 1
+        self.n_inv = pow(n, -1, p)
+        # coset generator: the field's multiplicative generator, as arkworks
+        self.coset_g = spec.generator
+        self.coset_g_inv = pow(self.coset_g, -1, p)
+        self._bitrev = jnp.asarray(_bitrev_indices(n))
+        self.fft = jax.jit(self._fft_impl, static_argnames=("inverse", "coset"))
+        # build power tables eagerly (outside any trace) so the lru_cache
+        # never captures tracers
+        for base in (self.omega, self.omega_inv, self.coset_g, self.coset_g_inv):
+            self._pow_table(base)
+
+    # ---- twiddle/power tables (device, cached) ----
+    @functools.lru_cache(maxsize=None)
+    def _pow_table(self, base: int) -> jnp.ndarray:
+        """[base^0 .. base^(n-1)] as (n, L) Montgomery limbs, built on device."""
+        df = self.df
+        table = df.ones((1,))
+        w_pow = df.encode([base])  # base^(2^0 * 1) — squared as table doubles
+        length = 1
+        while length < self.n:
+            table = jnp.concatenate([table, df.mul(table, w_pow)], axis=0)
+            w_pow = df.sqr(w_pow)
+            length *= 2
+        return table
+
+    # ---- core transform ----
+    def _fft_impl(self, x: jnp.ndarray, *, inverse: bool = False, coset: bool = False):
+        """NTT over the domain; natural order in and out.
+
+        coset=True: forward evaluates on gH (coset_fft); inverse interpolates
+        from gH (coset_ifft).
+        """
+        df, n = self.df, self.n
+        assert x.shape[0] == n, (x.shape, n)
+        if coset and not inverse:
+            x = df.mul(x, self._pow_table(self.coset_g))
+        if n > 1:
+            table = self._pow_table(self.omega_inv if inverse else self.omega)
+            y = x.reshape(1, n, df.L)
+            blocks, size = 1, n
+            while size > 1:
+                half = size // 2
+                a, b = y[:, :half], y[:, half:]
+                # block size `size`: omega_size = omega^blocks; tw_j = omega^(blocks*j)
+                tw = table[0 : blocks * half : blocks][None]
+                top = df.add(a, b)
+                bot = df.mul(df.sub(a, b), tw)
+                y = jnp.stack([top, bot], axis=1).reshape(blocks * 2, half, df.L)
+                blocks, size = blocks * 2, half
+            x = y.reshape(n, df.L)[self._bitrev]
+        if inverse:
+            x = df.mul(x, df.const(self.n_inv, (1,)))
+            if coset:
+                x = df.mul(x, self._pow_table(self.coset_g_inv))
+        return x
+
+    # ---- public API (mirrors GeneralEvaluationDomain) ----
+    def ntt(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        return self.fft(coeffs)
+
+    def intt(self, evals: jnp.ndarray) -> jnp.ndarray:
+        return self.fft(evals, inverse=True)
+
+    def coset_ntt(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        return self.fft(coeffs, coset=True)
+
+    def coset_intt(self, evals: jnp.ndarray) -> jnp.ndarray:
+        return self.fft(evals, inverse=True, coset=True)
+
+    def divide_by_vanishing_poly_on_coset(self, evals: jnp.ndarray) -> jnp.ndarray:
+        """evals of q on gH -> evals of q / (x^n - 1) on gH (constant divisor)."""
+        z = pow(self.coset_g, self.n, self.df.spec.modulus) - 1
+        zinv = pow(z, -1, self.df.spec.modulus)
+        return self.df.mul(evals, self.df.const(zinv, (1,)))
+
+    def evaluate_vanishing_polynomial(self, tau: int) -> int:
+        return (pow(tau, self.n, self.df.spec.modulus) - 1) % self.df.spec.modulus
+
+    def evaluate_all_lagrange_coefficients(self, tau: int) -> jnp.ndarray:
+        """[L_i(tau)]_{i<n} on device: (t^n - 1) * w^i / (n * (t - w^i)).
+
+        Used by the Groth16 trusted setup (reference:
+        groth16/src/r1cs_to_qap.rs:58-110 instance map).
+        """
+        df, p = self.df, self.df.spec.modulus
+        t = tau % p
+        pow_w = self._pow_table(self.omega)  # w^i
+        if pow(t, self.n, p) == 1:
+            # tau in the domain: L_i = delta_i
+            idx = 0
+            cur = 1
+            for i in range(self.n):
+                if cur == t:
+                    idx = i
+                    break
+                cur = cur * self.omega % p
+            out = df.zeros((self.n,))
+            return out.at[idx].set(df.ones(()))
+        zt_over_n = (pow(t, self.n, p) - 1) * pow(self.n, -1, p) % p
+        num = df.mul(pow_w, df.const(zt_over_n, (1,)))
+        den = df.sub(df.const(t, (self.n,)), pow_w)
+        return df.mul(num, df.batch_inv(den))
+
+
+@functools.lru_cache(maxsize=None)
+def get_domain(spec: FieldSpec, n: int) -> Domain:
+    from .field import device_field
+
+    return Domain(device_field(spec), n)
