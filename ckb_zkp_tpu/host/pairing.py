@@ -21,7 +21,7 @@ from .field import FieldSpec
 from .tower import Tower, Fq12E
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash: instances are lru-cached singletons
 class PairingCurve:
     name: str
     fq: FieldSpec

@@ -194,6 +194,15 @@ class DeviceField:
         out = self.mul(self.mul(left, right), total_inv)
         return jnp.where(z[..., None], self.zeros(a.shape[:-1]), out)
 
+    def powers(self, base: int, n: int) -> jnp.ndarray:
+        """[base^0 .. base^(n-1)] (n need not be a power of two), on device."""
+        table = self.ones((1,))
+        b_pow = self.encode([base])
+        while table.shape[0] < n:
+            table = jnp.concatenate([table, self.mul(table, b_pow)], axis=0)
+            b_pow = self.sqr(b_pow)
+        return table[:n]
+
     # ------------- Montgomery conversion -------------
     def to_mont(self, raw: jnp.ndarray) -> jnp.ndarray:
         return self.mul(raw, jnp.asarray(self.r2_limbs))

@@ -1,0 +1,250 @@
+"""Pippenger multi-scalar multiplication on TPU — the flagship kernel.
+
+Replaces arkworks' `VariableBaseMSM::multi_scalar_mul` / `FixedBaseMSM`
+(reference call sites: /root/reference/groth16/src/prover.rs:164-190,
+/root/reference/groth16/src/generator.rs:206-256, curve/src/lib.rs:38-45).
+
+TPU-first formulation (no data-dependent scatter-adds):
+- window size = 16 bits = one limb, so digit extraction is a limb gather;
+- per window: sort points by digit, segmented associative scan with the
+  complete EC-add as combiner (O(log N) depth), segment tails scattered into
+  a dense bucket array with a drop-sentinel;
+- bucket weighting  sum_b b*B_b  via a reversed associative scan (suffix
+  sums) + binary-tree fold;
+- windows processed under lax.scan (one traced instance), then combined with
+  16 doublings per window — everything stays inside a single jit.
+
+Sharding: points/scalars shard over the mesh batch axis; per-shard partial
+window sums are jnp.sum-free EC values reduced with psum-style tree adds in
+parallel/msm_sharded (see ckb_zkp_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..host.curves import AffinePoint
+from ..host.pairing import PairingCurve
+from .field import DeviceField, device_field
+from .limbs import BASE_BITS, ints_to_limbs, limbs_to_ints
+from .ec import (
+    DeviceFq2,
+    ec_add,
+    ec_double,
+    point_infinity,
+    point_select,
+    to_affine,
+)
+from .scan_utils import blocked_reduce, blocked_scan, segment_sum_sorted
+
+
+
+class DeviceCurveGroup:
+    """Device-side view of one curve group (G1 over Fq, or G2 over Fq2)."""
+
+    def __init__(self, curve: PairingCurve, group: str, window_bits: int = 16):
+        assert window_bits in (1, 2, 4, 8, 16), "windows must not straddle limbs"
+        self.curve = curve
+        self.group = group
+        self.c = window_bits
+        self.nb = 1 << window_bits
+        self.nwindows = 0  # set below once fr is known
+        self.fq = device_field(curve.fq)
+        self.fr = device_field(curve.fr)
+        if group == "g1":
+            self.cf = self.fq
+            self.host_group = curve.g1
+        elif group == "g2":
+            self.cf = DeviceFq2(self.fq)
+            self.host_group = curve.g2
+        else:
+            raise ValueError(group)
+        self.nwindows = self.fr.L * BASE_BITS // self.c
+        self._msm_jit = jax.jit(self._msm_impl)
+        self._fixed_base_jit = jax.jit(self._fixed_base_impl)
+        self._table = jax.jit(self._table_impl)
+
+    # ------------- host <-> device -------------
+    def _coord_encode(self, coords) -> jnp.ndarray:
+        if self.group == "g1":
+            return self.fq.encode(coords)
+        flat = [c for pair in coords for c in pair]
+        return self.fq.encode(flat).reshape(len(coords), 2, self.fq.L)
+
+    def encode_points(self, pts: list[AffinePoint]):
+        """Affine host points -> Jacobian device arrays (Z=1, or Z=0 for inf)."""
+        xs = self._coord_encode([p.x for p in pts])
+        ys = self._coord_encode([p.y for p in pts])
+        n = len(pts)
+        shape = (n,)
+        Z = self.cf.ones(shape)
+        inf = jnp.asarray(np.array([p.infinity for p in pts], dtype=bool))
+        if self.group == "g1":
+            Z = jnp.where(inf[:, None], 0, Z).astype(jnp.uint32)
+        else:
+            Z = jnp.where(inf[:, None, None], 0, Z).astype(jnp.uint32)
+        return (xs, ys, Z)
+
+    def decode_points(self, p) -> list[AffinePoint]:
+        """Jacobian device arrays -> host affine points."""
+        x, y, inf = to_affine(self.cf, p)
+        inf = np.asarray(jax.device_get(inf)).reshape(-1)
+        if self.group == "g1":
+            xs = self.fq.decode(x.reshape(-1, self.fq.L))
+            ys = self.fq.decode(y.reshape(-1, self.fq.L))
+        else:
+            xf = self.fq.decode(x.reshape(-1, self.fq.L))
+            yf = self.fq.decode(y.reshape(-1, self.fq.L))
+            xs = list(zip(xf[0::2], xf[1::2]))
+            ys = list(zip(yf[0::2], yf[1::2]))
+        out = []
+        for i in range(len(inf)):
+            if inf[i]:
+                out.append(self.host_group.infinity)
+            else:
+                out.append(AffinePoint(xs[i], ys[i]))
+        return out
+
+    def decode_point(self, p) -> AffinePoint:
+        P = tuple(c[None] for c in p)
+        return self.decode_points(P)[0]
+
+    def encode_scalars(self, scalars: list[int]) -> jnp.ndarray:
+        """Canonical (non-Montgomery) Fr limbs for MSM digit extraction."""
+        r = self.fr.spec.modulus
+        return jnp.asarray(ints_to_limbs([s % r for s in scalars], self.fr.L))
+
+    # ------------- variable-base Pippenger -------------
+    def msm(self, P, scalars):
+        """Public MSM entry: pads N to a power of two (>= 8) so compiled
+        graphs are reused across nearby sizes (infinity points / zero scalars
+        are absorbing)."""
+        n = scalars.shape[0]
+        np2 = max(8, 1 << (n - 1).bit_length())
+        if np2 != n:
+            pad = point_infinity(self.cf, (np2 - n,))
+            P = jax.tree.map(
+                lambda c, z: jnp.concatenate([c, z], axis=0), tuple(P), pad
+            )
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((np2 - n, scalars.shape[1]), scalars.dtype)],
+                axis=0,
+            )
+        return self._msm_jit(P, scalars)
+
+    def _digits(self, scalars, w):
+        """Extract c-bit window w (w may be traced) from 16-bit limbs."""
+        bitpos = w * self.c
+        limb = scalars[:, bitpos // BASE_BITS]
+        return (limb >> (bitpos % BASE_BITS)) & (self.nb - 1)
+
+    def _window_sum(self, P, digits):
+        """Sum of b * (sum of points with digit b) for one c-bit window."""
+        cf = self.cf
+        order = jnp.argsort(digits)
+        d = digits[order].astype(jnp.int32)
+        Ps = tuple(c[order] for c in P)
+        inf = point_infinity(cf)
+        add = lambda a, b: ec_add(cf, a, b)
+        buckets = segment_sum_sorted(add, Ps, d, self.nb, inf)
+        # suffix sums over buckets 1..nb-1: run[j] = sum_{b >= j} B_b
+        tail = tuple(b[1:] for b in buckets)
+        run = blocked_scan(add, tail, inf, reverse=True)
+        # S = sum_j run[j]
+        return blocked_reduce(add, run, inf)
+
+    def _msm_impl(self, P, scalars):
+        """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical."""
+        cf = self.cf
+        W = self.nwindows
+
+        def body(_, w):
+            return None, self._window_sum(P, self._digits(scalars, w))
+
+        _, S = jax.lax.scan(body, None, jnp.arange(W))
+
+        def outer(i, acc):
+            def dbl(_, a):
+                return ec_double(cf, a)
+
+            acc = jax.lax.fori_loop(0, self.c, dbl, acc)
+            s_w = jax.tree.map(lambda c: c[W - 1 - i], S)
+            return ec_add(cf, acc, s_w)
+
+        return jax.lax.fori_loop(0, W, outer, point_infinity(cf))
+
+    # ------------- fixed-base (setup path) -------------
+    def _table_impl(self, base):
+        """Window tables T[w, d] = d * 2^(cw) * base, w < nwindows, d < 2^c."""
+        cf = self.cf
+
+        def row(b, _):
+            rep = jax.tree.map(lambda c: jnp.broadcast_to(c, (self.nb,) + c.shape), b)
+            mult = blocked_scan(
+                lambda x, y: ec_add(cf, x, y), rep, point_infinity(cf)
+            )  # [b, 2b, ..., nb*b]
+            table_row = jax.tree.map(
+                lambda m, z: jnp.concatenate([z, m[:-1]], axis=0),
+                mult,
+                point_infinity(cf, (1,)),
+            )
+            next_b = jax.tree.map(lambda m: m[-1], mult)  # nb * b
+            return next_b, table_row
+
+        _, table = jax.lax.scan(row, base, None, length=self.nwindows)
+        return table
+
+    def _fixed_base_impl(self, table, scalars):
+        """scalars: (N, L) canonical limbs -> (N,) points via table gathers."""
+        cf = self.cf
+        n = scalars.shape[0]
+
+        def body(w, acc):
+            digits = self._digits(scalars, w).astype(jnp.int32)
+            row = jax.tree.map(lambda t: t[w], table)
+            picked = jax.tree.map(lambda t: t[digits], row)
+            return ec_add(cf, acc, picked)
+
+        return jax.lax.fori_loop(
+            0, self.nwindows, body, point_infinity(cf, (n,))
+        )
+
+    def fixed_base_msm(self, table, scalars):
+        """Public fixed-base entry with the same power-of-two padding."""
+        n = scalars.shape[0]
+        np2 = max(8, 1 << (n - 1).bit_length())
+        if np2 != n:
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((np2 - n, scalars.shape[1]), scalars.dtype)],
+                axis=0,
+            )
+        out = self._fixed_base_jit(table, scalars)
+        return jax.tree.map(lambda c: c[:n], out)
+
+    def fixed_base_table(self, base_affine: AffinePoint):
+        base = self.encode_points([base_affine])
+        base = jax.tree.map(lambda c: c[0], base)
+        return self._table(base)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_group_by_name(curve_name: str, group: str, window_bits: int) -> DeviceCurveGroup:
+    from ..host.pairing import get_curve
+
+    return DeviceCurveGroup(get_curve(curve_name), group, window_bits)
+
+
+def device_group(
+    curve: PairingCurve, group: str, window_bits: int | None = None
+) -> DeviceCurveGroup:
+    if window_bits is None:
+        import jax as _jax
+
+        # small windows keep CPU unit tests fast; 16-bit windows amortize
+        # bucket-reduction cost at production sizes on TPU
+        window_bits = 8 if _jax.default_backend() == "cpu" else 16
+    return _device_group_by_name(curve.name, group, window_bits)

@@ -1,0 +1,141 @@
+"""Trace-compact associative scan/reduce for expensive combiners.
+
+`jax.lax.associative_scan` materializes O(log N) *separate instances* of the
+combiner in the trace; with an elliptic-curve complete-add (~1.5k primitives)
+that makes XLA compile time explode. These helpers trade a little runtime
+depth for a trace that contains O(levels) combiner instances:
+
+  - blocked_reduce:  reshape (G, B), lax.scan over B (1 instance), recurse on G
+  - blocked_scan:    within-block inclusive scan + recursive scan over block
+                     totals + one broadcast combine to propagate
+
+Both are pytree-generic and require the combiner to broadcast over leading
+batch axes (all ops in ckb_zkp_tpu.ops do).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _leading(elems) -> int:
+    return jax.tree.leaves(elems)[0].shape[0]
+
+
+def _pad_to(elems, n, identity):
+    cur = _leading(elems)
+    if cur == n:
+        return elems
+    return jax.tree.map(
+        lambda x, i: jnp.concatenate(
+            [x, jnp.broadcast_to(i, (n - cur, *i.shape))], axis=0
+        ),
+        elems,
+        identity,
+    )
+
+
+def blocked_reduce(combine, elems, identity, block: int = 64):
+    """Reduce elems (pytree, leading axis N) with an associative combine.
+
+    `identity` is an element pytree (no leading axis) that is a two-sided
+    identity for `combine`.
+    """
+    n = _leading(elems)
+    if n == 1:
+        return jax.tree.map(lambda x: x[0], elems)
+    if n <= block:
+        def step(acc, x):
+            return combine(acc, x), None
+
+        acc, _ = jax.lax.scan(step, identity, elems)
+        return acc
+    g = -(-n // block)
+    elems = _pad_to(elems, g * block, identity)
+    resh = jax.tree.map(lambda x: x.reshape(g, block, *x.shape[1:]), elems)
+    moved = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), resh)  # (B, G, ...)
+    init = jax.tree.map(lambda i: jnp.broadcast_to(i, (g, *i.shape)), identity)
+
+    def step(acc, x):
+        return combine(acc, x), None
+
+    totals, _ = jax.lax.scan(step, init, moved)
+    return blocked_reduce(combine, totals, identity, block)
+
+
+def segment_sum_sorted(
+    combine, values, seg_ids, num_segments: int, identity, block: int = 64
+):
+    """Per-segment reduction of `values` grouped by *sorted* int32 seg_ids.
+
+    Returns a pytree with leading axis `num_segments`; segments with no
+    members hold `identity`. Out-of-range ids ( >= num_segments) are dropped.
+    Implementation: segmented inclusive scan + scatter of segment tails.
+    """
+    n = _leading(values)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), seg_ids[1:] != seg_ids[:-1]]
+    )
+
+    def seg_combine(a, b):
+        va, fa = a
+        vb, fb = b
+        # where(fb starts a new segment, keep vb, else accumulate)
+        merged = jax.tree.map(
+            lambda c, y: jnp.where(
+                fb.reshape(fb.shape + (1,) * (c.ndim - fb.ndim)), y, c
+            ),
+            combine(va, vb),
+            vb,
+        )
+        return merged, fa | fb
+
+    scanned, _ = blocked_scan(
+        seg_combine, (values, first), (identity, jnp.asarray(False)), block
+    )
+    ends = jnp.concatenate([seg_ids[1:] != seg_ids[:-1], jnp.ones((1,), bool)])
+    target = jnp.where(ends, seg_ids, num_segments).astype(jnp.int32)
+    out = jax.tree.map(
+        lambda i: jnp.broadcast_to(i, (num_segments, *i.shape)), identity
+    )
+    return jax.tree.map(
+        lambda o, s: o.at[target].set(s, mode="drop"), out, scanned
+    )
+
+
+def blocked_scan(combine, elems, identity, block: int = 64, reverse: bool = False):
+    """Inclusive associative scan along axis 0 (pytree-generic)."""
+    if reverse:
+        flipped = jax.tree.map(lambda x: jnp.flip(x, axis=0), elems)
+        out = blocked_scan(combine, flipped, identity, block)
+        return jax.tree.map(lambda x: jnp.flip(x, axis=0), out)
+    n = _leading(elems)
+    if n <= block:
+        def step(acc, x):
+            acc = combine(acc, x)
+            return acc, acc
+
+        _, out = jax.lax.scan(step, identity, elems)
+        return out
+    g = -(-n // block)
+    padded = _pad_to(elems, g * block, identity)
+    resh = jax.tree.map(lambda x: x.reshape(g, block, *x.shape[1:]), padded)
+    moved = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), resh)  # (B, G, ...)
+    init = jax.tree.map(lambda i: jnp.broadcast_to(i, (g, *i.shape)), identity)
+
+    def step(acc, x):
+        acc = combine(acc, x)
+        return acc, acc
+
+    totals, within = jax.lax.scan(step, init, moved)  # within: (B, G, ...)
+    gpref = blocked_scan(combine, totals, identity, block)  # (G, ...)
+    # exclusive group prefix, broadcast-combined into each block element
+    excl = jax.tree.map(
+        lambda gp, i: jnp.concatenate([i[None], gp[:-1]], axis=0), gpref, identity
+    )  # (G, ...)
+    within_gb = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), within)  # (G, B, ...)
+    excl_b = jax.tree.map(lambda x: x[:, None], excl)  # (G, 1, ...)
+    full = combine(excl_b, within_gb)  # broadcast over block axis
+    flat = jax.tree.map(lambda x: x.reshape(g * block, *x.shape[2:]), full)
+    return jax.tree.map(lambda x: x[:n], flat)

@@ -1,0 +1,80 @@
+"""Device sparse matrices over Fr (COO, row- and col-sorted views).
+
+The reference walks Vec-of-Vec rows per constraint
+(/root/reference/groth16/src/prover.rs:134-146, r1cs_to_qap.rs:131-138); here
+the same evaluation is a gather + batched Montgomery mul + segmented tree
+reduction, fully on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import DeviceField
+from .scan_utils import segment_sum_sorted
+
+
+class DeviceCoo:
+    """COO matrix with device arrays; supports y = M @ z and y = M^T @ z."""
+
+    def __init__(
+        self,
+        df: DeviceField,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        coeffs: list[int],
+        num_rows: int,
+        num_cols: int,
+    ):
+        self.df = df
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        # pad: nnz and num_cols to powers of two so compiled graphs are
+        # shared across the A/B/C matrices and nearby circuit sizes
+        self.nnz = len(coeffs)
+        self.nnz_pad = max(8, 1 << max(0, self.nnz - 1).bit_length())
+        self.num_cols_pad = max(8, 1 << max(0, num_cols - 1).bit_length())
+        npad = self.nnz_pad - self.nnz
+        rows = np.concatenate(
+            [np.asarray(rows, dtype=np.int32), np.full(npad, num_rows, np.int32)]
+        )
+        cols = np.concatenate(
+            [np.asarray(cols, dtype=np.int32), np.full(npad, self.num_cols_pad, np.int32)]
+        )
+        coeff_dev = df.encode(list(coeffs) + [0] * npad)
+        # row-sorted view (for M @ z); sentinel ids sort last and are dropped
+        order_r = np.argsort(rows, kind="stable")
+        self.r_rows = jnp.asarray(rows[order_r])
+        self.r_cols = jnp.asarray(np.minimum(cols[order_r], num_cols - 1))
+        self.r_coeffs = coeff_dev[jnp.asarray(order_r)]
+        # col-sorted view (for M^T @ z, i.e. per-variable sums in setup)
+        order_c = np.argsort(cols, kind="stable")
+        self.c_rows = jnp.asarray(np.minimum(rows[order_c], num_rows - 1))
+        self.c_cols = jnp.asarray(cols[order_c])
+        self.c_coeffs = coeff_dev[jnp.asarray(order_c)]
+        self.matvec = jax.jit(self._matvec)
+        self.rmatvec = jax.jit(self._rmatvec)
+
+    def _gather_mul_reduce(self, z, idx_gather, coeffs, seg_ids, out_len):
+        df = self.df
+        if self.nnz == 0:
+            return df.zeros((out_len,))
+        vals = df.mul(z[idx_gather], coeffs)
+        return segment_sum_sorted(
+            df.add, vals, seg_ids, out_len, df.zeros(())
+        )
+
+    def _matvec(self, z: jnp.ndarray) -> jnp.ndarray:
+        """z: (>=num_cols, L) mont -> (num_rows, L) mont."""
+        return self._gather_mul_reduce(
+            z, self.r_cols, self.r_coeffs, self.r_rows, self.num_rows
+        )
+
+    def _rmatvec(self, z: jnp.ndarray) -> jnp.ndarray:
+        """z: (num_rows, L) mont -> (num_cols, L) mont (transpose product)."""
+        out = self._gather_mul_reduce(
+            z, self.c_rows, self.c_coeffs, self.c_cols, self.num_cols_pad
+        )
+        return out[: self.num_cols]

@@ -1,0 +1,100 @@
+"""Groth16 trusted setup.
+
+Parity: generate_random_parameters / generate_parameters
+(/root/reference/groth16/src/generator.rs:19-286). Query scalars are computed
+on device from a single Lagrange-coefficient kernel + transpose sparse
+matvecs; the five fixed-base MSMs run as window-table gathers on device
+(reference uses FixedBaseMSM, generator.rs:206-256).
+"""
+
+from __future__ import annotations
+
+import random
+
+from ...host.pairing import PairingCurve
+from ...ops.field import device_field
+from ...ops.msm import device_group
+from ...r1cs import ConstraintSynthesizer, SynthesisMode, synthesize
+from .qap import QapMatrices
+from .types import Parameters, VerifyKey
+
+
+def generate_random_parameters(
+    circuit: ConstraintSynthesizer, curve: PairingCurve, rng: random.Random
+) -> Parameters:
+    r = curve.fr.modulus
+    alpha, beta, gamma, delta = (rng.randrange(1, r) for _ in range(4))
+    t = rng.randrange(1, r)
+    return generate_parameters(circuit, curve, alpha, beta, gamma, delta, t)
+
+
+def generate_parameters(
+    circuit: ConstraintSynthesizer,
+    curve: PairingCurve,
+    alpha: int,
+    beta: int,
+    gamma: int,
+    delta: int,
+    t: int,
+) -> Parameters:
+    p = curve.fr.modulus
+    fr = device_field(curve.fr)
+    shape = synthesize(circuit, p, SynthesisMode.SETUP)
+    qap = QapMatrices(shape, curve.fr)
+    if qap.domain.evaluate_vanishing_polynomial(t) == 0:
+        raise ValueError("t lies in the evaluation domain; resample")
+
+    ni = shape.num_inputs
+    u, v, w = qap.evaluations_at(t)  # (num_vars, L) mont each
+
+    gamma_inv = pow(gamma, -1, p)
+    delta_inv = pow(delta, -1, p)
+    zt = qap.domain.evaluate_vanishing_polynomial(t)
+
+    beta_c = fr.const(beta, (1,))
+    alpha_c = fr.const(alpha, (1,))
+    contrib = fr.add(fr.add(fr.mul(beta_c, u), fr.mul(alpha_c, v)), w)
+    gamma_abc_s = fr.mul(contrib[:ni], fr.const(gamma_inv, (1,)))
+    l_s = fr.mul(contrib[ni:], fr.const(delta_inv, (1,)))
+    h_s = fr.mul(
+        fr.powers(t, qap.m - 1), fr.const(zt * delta_inv % p, (1,))
+    )
+
+    dg1 = device_group(curve, "g1")
+    dg2 = device_group(curve, "g2")
+    t1 = dg1.fixed_base_table(curve.g1_gen)
+    t2 = dg2.fixed_base_table(curve.g2_gen)
+
+    def canon(x):
+        return fr.from_mont(x)
+
+    a_query = dg1.fixed_base_msm(t1, canon(u))
+    b_g1_query = dg1.fixed_base_msm(t1, canon(v))
+    b_g2_query = dg2.fixed_base_msm(t2, canon(v))
+    h_query = dg1.fixed_base_msm(t1, canon(h_s))
+    l_query = dg1.fixed_base_msm(t1, canon(l_s))
+    gamma_abc_g1 = dg1.decode_points(dg1.fixed_base_msm(t1, canon(gamma_abc_s)))
+
+    g1m, g2m = curve.g1.mul, curve.g2.mul
+    vk = VerifyKey(
+        alpha_g1=g1m(curve.g1_gen, alpha),
+        beta_g2=g2m(curve.g2_gen, beta),
+        gamma_g2=g2m(curve.g2_gen, gamma),
+        delta_g2=g2m(curve.g2_gen, delta),
+        gamma_abc_g1=gamma_abc_g1,
+    )
+    return Parameters(
+        curve=curve,
+        vk=vk,
+        beta_g1=g1m(curve.g1_gen, beta),
+        delta_g1=g1m(curve.g1_gen, delta),
+        domain_size=qap.m,
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
+        num_inputs=ni,
+        num_aux=shape.num_aux,
+        num_constraints=shape.num_constraints,
+    )

@@ -1,0 +1,70 @@
+"""Groth16 prover — the north-star hot path.
+
+Parity: create_random_proof / create_proof / create_proof_no_zk
+(/root/reference/groth16/src/prover.rs:97-228). Pipeline: host synthesis ->
+device witness map (sparse matvec + 6 NTTs) -> device Pippenger MSMs -> three
+affine points back to host.
+"""
+
+from __future__ import annotations
+
+import random
+
+from ...host.curves import AffinePoint
+from ...ops.field import device_field
+from ...ops.msm import device_group
+from ...r1cs import ConstraintSynthesizer, SynthesisMode, synthesize
+from .qap import QapMatrices
+from .types import Parameters, Proof
+
+
+def create_random_proof(
+    params: Parameters, circuit: ConstraintSynthesizer, rng: random.Random
+) -> Proof:
+    r_mod = params.curve.fr.modulus
+    r = rng.randrange(r_mod)
+    s = rng.randrange(r_mod)
+    return create_proof(params, circuit, r, s)
+
+
+def create_proof_no_zk(params: Parameters, circuit: ConstraintSynthesizer) -> Proof:
+    return create_proof(params, circuit, 0, 0)
+
+
+def create_proof(
+    params: Parameters, circuit: ConstraintSynthesizer, r: int, s: int
+) -> Proof:
+    curve = params.curve
+    p = curve.fr.modulus
+    fr = device_field(curve.fr)
+    shape = synthesize(circuit, p, SynthesisMode.PROVE)
+    qap = QapMatrices(shape, curve.fr)
+    assert qap.m == params.domain_size, "circuit does not match parameters"
+
+    z = shape.full_assignment()
+    z_mont = fr.encode(z)
+    h = qap.witness_map(z_mont)  # (m-1, L) mont
+
+    dg1 = device_group(curve, "g1")
+    dg2 = device_group(curve, "g2")
+    z_can = fr.from_mont(z_mont)
+    ni = shape.num_inputs
+
+    ga_acc = dg1.decode_point(dg1.msm(params.a_query, z_can))
+    gb2_acc = dg2.decode_point(dg2.msm(params.b_g2_query, z_can))
+    gb1_acc = dg1.decode_point(dg1.msm(params.b_g1_query, z_can))
+    h_acc = dg1.decode_point(dg1.msm(params.h_query, fr.from_mont(h)))
+    l_acc = dg1.decode_point(dg1.msm(params.l_query, z_can[ni:]))
+
+    g1, g2 = curve.g1, curve.g2
+    # A = alpha + sum z_i u_i(t) + r*delta
+    a_pt = g1.add(g1.add(params.vk.alpha_g1, ga_acc), g1.mul(params.delta_g1, r))
+    # B = beta + sum z_i v_i(t) + s*delta  (G2), B1 same in G1
+    b_pt = g2.add(g2.add(params.vk.beta_g2, gb2_acc), g2.mul(params.vk.delta_g2, s))
+    b1_pt = g1.add(g1.add(params.beta_g1, gb1_acc), g1.mul(params.delta_g1, s))
+    # C = l_acc + h_acc + s*A + r*B1 - rs*delta
+    c_pt = g1.add(l_acc, h_acc)
+    c_pt = g1.add(c_pt, g1.mul(a_pt, s))
+    c_pt = g1.add(c_pt, g1.mul(b1_pt, r))
+    c_pt = g1.sub(c_pt, g1.mul(params.delta_g1, r * s % p))
+    return Proof(a=a_pt, b=b_pt, c=c_pt)

@@ -1,0 +1,94 @@
+"""Device EC ops and Pippenger MSM vs the host oracle."""
+
+import random
+
+import pytest
+
+from ckb_zkp_tpu.host.pairing import get_curve
+from ckb_zkp_tpu.ops import ec
+from ckb_zkp_tpu.ops.msm import device_group
+
+RNG = random.Random(99)
+
+
+@pytest.fixture(scope="module", params=["bn254", "bls12_381"])
+def curve(request):
+    return get_curve(request.param)
+
+
+def rand_points(curve, group, n):
+    g = curve.g1 if group == "g1" else curve.g2
+    gen = curve.g1_gen if group == "g1" else curve.g2_gen
+    return [g.mul(gen, RNG.randrange(1, curve.fr.modulus)) for _ in range(n)]
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_encode_decode_roundtrip(curve, group):
+    dg = device_group(curve, group)
+    pts = rand_points(curve, group, 5) + [dg.host_group.infinity]
+    assert dg.decode_points(dg.encode_points(pts)) == pts
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_add_double(curve, group):
+    dg = device_group(curve, group)
+    host = dg.host_group
+    pts = rand_points(curve, group, 4)
+    P = dg.encode_points(pts)
+    Q = dg.encode_points(pts[1:] + pts[:1])
+    got = dg.decode_points(ec.ec_add(dg.cf, P, Q))
+    expect = [host.add(a, b) for a, b in zip(pts, pts[1:] + pts[:1])]
+    assert got == expect
+    got_dbl = dg.decode_points(ec.ec_double(dg.cf, P))
+    assert got_dbl == [host.double(a) for a in pts]
+
+
+@pytest.mark.parametrize("group", ["g1"])
+def test_add_edge_cases(curve, group):
+    dg = device_group(curve, group)
+    host = dg.host_group
+    p = rand_points(curve, group, 1)[0]
+    cases = [
+        (p, p),  # doubling through add
+        (p, host.neg(p)),  # P + (-P) = inf
+        (p, host.infinity),
+        (host.infinity, p),
+        (host.infinity, host.infinity),
+    ]
+    P = dg.encode_points([a for a, _ in cases])
+    Q = dg.encode_points([b for _, b in cases])
+    got = dg.decode_points(ec.ec_add(dg.cf, P, Q))
+    assert got == [host.add(a, b) for a, b in cases]
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_msm_matches_host(curve, group):
+    dg = device_group(curve, group)
+    host = dg.host_group
+    n = 17
+    pts = rand_points(curve, group, n - 1) + [host.infinity]
+    scalars = [RNG.randrange(curve.fr.modulus) for _ in range(n - 2)] + [0, 7]
+    P = dg.encode_points(pts)
+    s = dg.encode_scalars(scalars)
+    got = dg.decode_point(dg.msm(P, s))
+    assert got == host.msm(pts, scalars)
+
+
+def test_msm_repeated_points(curve):
+    """Equal points in the same bucket exercise the doubling path."""
+    dg = device_group(curve, "g1")
+    host = dg.host_group
+    p = rand_points(curve, "g1", 1)[0]
+    pts = [p, p, p, host.double(p)]
+    scalars = [3, 3, 5, 9]
+    got = dg.decode_point(dg.msm(dg.encode_points(pts), dg.encode_scalars(scalars)))
+    assert got == host.mul(p, 3 + 3 + 5 + 18)
+
+
+def test_fixed_base_msm(curve):
+    dg = device_group(curve, "g1")
+    host = dg.host_group
+    table = dg.fixed_base_table(curve.g1_gen)
+    scalars = [0, 1, 2, RNG.randrange(curve.fr.modulus), curve.fr.modulus - 1]
+    got = dg.decode_points(dg.fixed_base_msm(table, dg.encode_scalars(scalars)))
+    assert got == [host.mul(curve.g1_gen, s) for s in scalars]
