@@ -83,7 +83,7 @@ def carry_propagate(x: jnp.ndarray, *, signed: bool = False) -> jnp.ndarray:
             t = v + c
             return t >> BASE_BITS, t & MASK  # arithmetic shift handles negatives
 
-        _, out = jax.lax.scan(step, jnp.zeros(xt.shape[1:], jnp.int32), xt)
+        _, out = jax.lax.scan(step, jnp.zeros_like(xt[0]), xt)
         out = out.astype(jnp.uint32)
     else:
 
@@ -91,7 +91,7 @@ def carry_propagate(x: jnp.ndarray, *, signed: bool = False) -> jnp.ndarray:
             t = v + c
             return t >> BASE_BITS, t & MASK
 
-        _, out = jax.lax.scan(step, jnp.zeros(xt.shape[1:], jnp.uint32), xt)
+        _, out = jax.lax.scan(step, jnp.zeros_like(xt[0]), xt)
     return jnp.moveaxis(out, 0, -1)
 
 
@@ -107,5 +107,5 @@ def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         g, l = gl
         return jnp.where(g, True, jnp.where(l, False, acc)), None
 
-    res, _ = jax.lax.scan(step, jnp.ones(at.shape[1:], bool), (at, lt_t))
+    res, _ = jax.lax.scan(step, jnp.ones_like(at[0]), (at, lt_t))
     return res

@@ -8,8 +8,17 @@ coset NTTs, the 4-5 MSMs) runs on the TPU mesh.
 """
 
 from .types import Parameters, PreparedVerifyingKey, Proof, VerifyKey
-from .generator import generate_parameters, generate_random_parameters
-from .prover import create_proof, create_random_proof, create_proof_no_zk
+from .generator import (
+    generate_parameters,
+    generate_parameters_from_shape,
+    generate_random_parameters,
+)
+from .prover import (
+    create_proof,
+    create_proof_from_shape,
+    create_random_proof,
+    create_proof_no_zk,
+)
 from .verifier import prepare_verifying_key, verify_proof
 
 __all__ = [
@@ -18,8 +27,10 @@ __all__ = [
     "Proof",
     "VerifyKey",
     "generate_parameters",
+    "generate_parameters_from_shape",
     "generate_random_parameters",
     "create_proof",
+    "create_proof_from_shape",
     "create_random_proof",
     "create_proof_no_zk",
     "prepare_verifying_key",

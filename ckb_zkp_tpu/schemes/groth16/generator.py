@@ -14,7 +14,7 @@ import random
 from ...host.pairing import PairingCurve
 from ...ops.field import device_field
 from ...ops.msm import device_group
-from ...r1cs import ConstraintSynthesizer, SynthesisMode, synthesize
+from ...r1cs import ConstraintSynthesizer, R1csShape, SynthesisMode, synthesize
 from .qap import QapMatrices
 from .types import Parameters, VerifyKey
 
@@ -37,9 +37,21 @@ def generate_parameters(
     delta: int,
     t: int,
 ) -> Parameters:
+    shape = synthesize(circuit, curve.fr.modulus, SynthesisMode.SETUP)
+    return generate_parameters_from_shape(shape, curve, alpha, beta, gamma, delta, t)
+
+
+def generate_parameters_from_shape(
+    shape: R1csShape,
+    curve: PairingCurve,
+    alpha: int,
+    beta: int,
+    gamma: int,
+    delta: int,
+    t: int,
+) -> Parameters:
     p = curve.fr.modulus
     fr = device_field(curve.fr)
-    shape = synthesize(circuit, p, SynthesisMode.SETUP)
     qap = QapMatrices(shape, curve.fr)
     if qap.domain.evaluate_vanishing_polynomial(t) == 0:
         raise ValueError("t lies in the evaluation domain; resample")

@@ -13,7 +13,7 @@ import random
 from ...host.curves import AffinePoint
 from ...ops.field import device_field
 from ...ops.msm import device_group
-from ...r1cs import ConstraintSynthesizer, SynthesisMode, synthesize
+from ...r1cs import ConstraintSynthesizer, R1csShape, SynthesisMode, synthesize
 from .qap import QapMatrices
 from .types import Parameters, Proof
 
@@ -34,11 +34,18 @@ def create_proof_no_zk(params: Parameters, circuit: ConstraintSynthesizer) -> Pr
 def create_proof(
     params: Parameters, circuit: ConstraintSynthesizer, r: int, s: int
 ) -> Proof:
+    shape = synthesize(circuit, params.curve.fr.modulus, SynthesisMode.PROVE)
+    return create_proof_from_shape(params, shape, r, s)
+
+
+def create_proof_from_shape(
+    params: Parameters, shape: R1csShape, r: int, s: int, qap: QapMatrices | None = None
+) -> Proof:
     curve = params.curve
     p = curve.fr.modulus
     fr = device_field(curve.fr)
-    shape = synthesize(circuit, p, SynthesisMode.PROVE)
-    qap = QapMatrices(shape, curve.fr)
+    if qap is None:
+        qap = QapMatrices(shape, curve.fr)
     assert qap.m == params.domain_size, "circuit does not match parameters"
 
     z = shape.full_assignment()

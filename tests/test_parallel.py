@@ -1,0 +1,75 @@
+"""Sharded MSM / four-step sharded NTT vs single-device results (8 CPU mesh)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ckb_zkp_tpu.host.pairing import get_curve
+from ckb_zkp_tpu.ops.field import device_field
+from ckb_zkp_tpu.ops.ntt import get_domain
+from ckb_zkp_tpu.parallel import ShardedDomain, make_mesh, msm_sharded
+from ckb_zkp_tpu.ops.msm import device_group
+
+RNG = random.Random(31337)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def test_sharded_ntt_roundtrip_matches_single(mesh):
+    curve = get_curve("bn254")
+    fr = curve.fr
+    df = device_field(fr)
+    n = 256
+    sd = ShardedDomain(fr, n, mesh)
+    dom = get_domain(fr, n)
+    coeffs = [RNG.randrange(fr.modulus) for _ in range(n)]
+    x = df.encode(coeffs)
+    B = sd.fft_t(x)
+    # transposed spectrum: X[k1 + n1*k2] = B[k1, k2]
+    evals_single = np.array(jax.device_get(dom.ntt(x)))
+    B_host = np.array(jax.device_get(B)).reshape(sd.n1, sd.n2, df.L)
+    X_from_B = B_host.transpose(1, 0, 2).reshape(n, df.L)
+    assert np.array_equal(X_from_B, evals_single)
+    # inverse round-trip
+    back = df.decode(sd.ifft_from_t(B))
+    assert back == coeffs
+
+
+def test_sharded_pointwise_convolution(mesh):
+    """fft_t -> pointwise -> ifft_from_t == cyclic convolution."""
+    curve = get_curve("bn254")
+    fr = curve.fr
+    p = fr.modulus
+    df = device_field(fr)
+    n = 64
+    sd = ShardedDomain(fr, n, mesh)
+    a = [RNG.randrange(p) for _ in range(n // 2)] + [0] * (n // 2)
+    b = [RNG.randrange(p) for _ in range(n // 2)] + [0] * (n // 2)
+    prod = df.decode(
+        sd.ifft_from_t(df.mul(sd.fft_t(df.encode(a)), sd.fft_t(df.encode(b))))
+    )
+    expect = [0] * n
+    for i, ai in enumerate(a[: n // 2]):
+        for j, bj in enumerate(b[: n // 2]):
+            expect[i + j] = (expect[i + j] + ai * bj) % p
+    assert prod == expect
+
+
+def test_sharded_msm_matches_host(mesh):
+    curve = get_curve("bn254")
+    dg = device_group(curve, "g1")
+    host = curve.g1
+    n = 24
+    pts = [host.mul(curve.g1_gen, RNG.randrange(1, curve.fr.modulus)) for _ in range(n)]
+    scalars = [RNG.randrange(curve.fr.modulus) for _ in range(n)]
+    P = dg.encode_points(pts)
+    s = dg.encode_scalars(scalars)
+    got = dg.decode_point(msm_sharded(dg, P, s, mesh))
+    assert got == host.msm(pts, scalars)
