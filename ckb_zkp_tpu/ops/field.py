@@ -27,6 +27,7 @@ from .limbs import (
     geq,
     int_to_limbs,
     ints_to_limbs,
+    ks_resolve,
     limbs_to_ints,
     nlimbs_for,
 )
@@ -46,6 +47,9 @@ class DeviceField:
         R_full = 1 << (BASE_BITS * self.L)
         self.nprime_limbs = int_to_limbs((-pow(p, -1, R_full)) % R_full, self.L)
         self.p_limbs = int_to_limbs(p, self.L)
+        # ~p + 1 (two's complement) for the flat conditional-subtract
+        self.comp_p1 = (MASK - self.p_limbs).astype(np.uint32)
+        self.comp_p1[0] += 1  # p is odd, so no limb overflow
         self.r_limbs = int_to_limbs(self.R, self.L)  # = one in Montgomery form
         self.r2_limbs = int_to_limbs(self.R2, self.L)
         self.one_raw = int_to_limbs(1, self.L)
@@ -80,21 +84,23 @@ class DeviceField:
 
     # ------------- canonicalization -------------
     def _cond_sub_p(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x in [0, 2p) canonical limbs -> x mod p."""
-        mask = geq(x, jnp.asarray(self.p_limbs))
-        d = x.astype(jnp.int32) - jnp.asarray(self.p_limbs.astype(np.int32))
-        d = carry_propagate(d, signed=True)
-        return jnp.where(mask[..., None], d, x)
+        """x in [0, 2p) canonical limbs -> x mod p (complement trick, flat)."""
+        d, borrow_free = ks_resolve(x + jnp.asarray(self.comp_p1))
+        # borrow_free == 1  <=>  x >= p; d == x - p (mod R)
+        return jnp.where(borrow_free[..., None].astype(bool), d, x)
 
     # ------------- add/sub/neg -------------
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        s = carry_propagate(a + b)  # limbs < 2^17, no final carry (2p < R)
+        s, _ = ks_resolve(a + b)  # 2p < R: carry-out impossible
         return self._cond_sub_p(s)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        d = a.astype(jnp.int32) + jnp.asarray(self.p_limbs.astype(np.int32)) - b.astype(jnp.int32)
-        d = carry_propagate(d, signed=True)  # in [0, 2p)
-        return self._cond_sub_p(d)
+        """a - b mod p via two's complement: a + ~b + 1 (flat, no borrows)."""
+        t = a + (MASK - b)
+        t = t.at[..., 0].add(1)
+        d, no_borrow = ks_resolve(t)  # d = a - b mod R
+        d2, _ = ks_resolve(d + jnp.asarray(self.p_limbs))  # (a-b mod R) + p - R
+        return jnp.where(no_borrow[..., None].astype(bool), d, d2)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.sub(self.zeros(a.shape[:-1]), a)
@@ -106,32 +112,38 @@ class DeviceField:
         return jnp.all(a == b, axis=-1)
 
     # ------------- multiplication -------------
-    @staticmethod
-    def _skew_sum(rows: jnp.ndarray, shift0: int) -> jnp.ndarray:
-        """Sum rows[..., i, :] into columns at offset i+shift0.
+    def _product_cols(self, a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
+        """Lazy column sums of the schoolbook product, columns [0, ncols).
 
-        rows: (..., L, L). Returns (..., 2L) lazy column sums (< 2L*2^16).
-        Uses the pad-flatten-reshape shear trick — no scatter, tiny trace.
+        Anti-diagonal sums of the outer product via static gathers (fastest
+        of the benchmarked formulations: no pad/reshape copies). Column sums
+        < 2L * 2^16 <= 2^22 — safe in uint32.
         """
-        L = rows.shape[-1]
-        width = 2 * L + 1
-        pad = [(0, 0)] * (rows.ndim - 1) + [(shift0, width - L - shift0)]
-        padded = jnp.pad(rows, pad)  # (..., L, 2L+1)
-        flat = padded.reshape(*rows.shape[:-2], L * width)[..., : L * 2 * L]
-        return flat.reshape(*rows.shape[:-2], L, 2 * L).sum(axis=-2)
+        L = self.L
+        outer = a[..., :, None] * b[..., None, :]  # exact: (2^16-1)^2 < 2^32
+        lo = outer & MASK
+        hi = outer >> BASE_BITS
+        cols = []
+        for k in range(ncols):
+            i0, i1 = max(0, k - L + 1), min(L, k + 1)
+            idx = np.arange(i0, i1)
+            s = lo[..., idx, k - idx].sum(-1)
+            j0, j1 = max(0, k - L), min(L, k)
+            if j1 > j0:
+                jdx = np.arange(j0, j1)
+                s = s + hi[..., jdx, k - 1 - jdx].sum(-1)
+            cols.append(s)
+        return jnp.stack(cols, axis=-1)
 
     def _school_product(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Full 2L-limb product, canonical limbs. a,b canonical (..., L)."""
-        outer = a[..., :, None] * b[..., None, :]  # exact: (2^16-1)^2 < 2^32
-        cols = self._skew_sum(outer & MASK, 0) + self._skew_sum(
-            outer >> BASE_BITS, 1
-        )
-        # column sums < 2 * L * 2^16 <= 2^21.6 — safe; resolve carries once
+        cols = jax.lax.optimization_barrier(self._product_cols(a, b, 2 * self.L))
         return carry_propagate(cols)
 
     def _mul_mod_R(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """(a*b) mod R: canonical low L limbs of the product."""
-        return self._school_product(a, b)[..., : self.L]
+        """(a*b) mod R: canonical low L limbs of the product (half cost)."""
+        cols = jax.lax.optimization_barrier(self._product_cols(a, b, self.L))
+        return carry_propagate(cols)
 
     def _mont_reduce(self, t: jnp.ndarray) -> jnp.ndarray:
         """Montgomery-reduce canonical 2L limbs (value < R*p) to t*R^-1 mod p.
@@ -140,9 +152,17 @@ class DeviceField:
         out = (t + m*p) / R. Fully vectorized — no per-limb recurrence.
         """
         L = self.L
-        m = self._mul_mod_R(t[..., :L], jnp.asarray(self.nprime_limbs))
-        mp = self._school_product(m, jnp.asarray(self.p_limbs))
-        s = carry_propagate(t + mp)  # t+mp < 2Rp < 2^(32L); limbs < 2^17
+        # optimization barriers stop XLA from re-fusing (and re-computing)
+        # the big product chains into every consumer
+        t = jax.lax.optimization_barrier(t)
+        m = jax.lax.optimization_barrier(
+            self._mul_mod_R(t[..., :L], jnp.asarray(self.nprime_limbs))
+        )
+        mp = jax.lax.optimization_barrier(
+            self._school_product(m, jnp.asarray(self.p_limbs))
+        )
+        s, _ = ks_resolve(t + mp)  # t+mp < 2Rp < 2^(32L); limbs <= 2*MASK
+        s = jax.lax.optimization_barrier(s)
         return self._cond_sub_p(s[..., L:])  # low half is 0; value < 2p
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -69,43 +69,56 @@ def limbs_to_ints(arr) -> list[int]:
     ]
 
 
-def carry_propagate(x: jnp.ndarray, *, signed: bool = False) -> jnp.ndarray:
-    """Resolve lazy limbs to canonical 16-bit limbs (drops final carry-out).
+def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Shift limbs toward higher indices by k (zeros in at the bottom)."""
+    pad = jnp.zeros_like(x[..., :k])
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
 
-    x: (..., L) with limbs in uint32 (lazy, < 2^32) or int32 when ``signed``.
-    Sequential over L limbs via lax.scan (vectorized across the batch).
+
+def ks_resolve(t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve 1-bit carries with a Kogge-Stone parallel prefix (log-depth).
+
+    t: (..., L) uint32 with every limb <= 2*MASK (limb 0 may be 2*MASK+1).
+    Returns (canonical limbs, carry_out in {0,1}). No sequential scans —
+    this keeps the whole Montgomery pipeline a flat vectorized graph, which
+    is the difference between micro-ops-deep lax.scan chains and one fused
+    elementwise kernel per field op.
     """
-    xt = jnp.moveaxis(x, -1, 0)  # (L, ...)
-    if signed:
-        xt = xt.astype(jnp.int32)
+    nl = t.shape[-1]
+    g = (t >> BASE_BITS).astype(bool)  # generate (0/1 by precondition)
+    p = (t & MASK) == MASK  # propagate
+    # exclusive prefix: carry INTO limb i from limbs < i
+    G = _shift_up(g, 1)
+    P = _shift_up(p, 1)
+    k = 1
+    while k < nl:
+        G = G | (P & _shift_up(G, k))
+        P = P & _shift_up(P, k)
+        k <<= 1
+    c = G.astype(jnp.uint32)
+    full = t + c
+    out = full & MASK
+    carry_out = full[..., -1] >> BASE_BITS
+    return out, carry_out
 
-        def step(c, v):
-            t = v + c
-            return t >> BASE_BITS, t & MASK  # arithmetic shift handles negatives
 
-        _, out = jax.lax.scan(step, jnp.zeros_like(xt[0]), xt)
-        out = out.astype(jnp.uint32)
-    else:
+def carry_propagate(x: jnp.ndarray) -> jnp.ndarray:
+    """Resolve lazy limbs (< 2^32) to canonical 16-bit limbs.
 
-        def step(c, v):
-            t = v + c
-            return t >> BASE_BITS, t & MASK
-
-        _, out = jax.lax.scan(step, jnp.zeros_like(xt[0]), xt)
-    return jnp.moveaxis(out, 0, -1)
+    Drops anything carried beyond the top limb (callers guarantee the value
+    fits). Two flat passes: fold high halves upward, then Kogge-Stone.
+    """
+    lo = x & MASK
+    hi = x >> BASE_BITS
+    t = lo + _shift_up(hi, 1)  # <= 2*MASK per limb
+    out, _ = ks_resolve(t)
+    return out
 
 
 def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Lexicographic a >= b for canonical limb arrays. Returns bool (...)."""
-    gt = a > b
-    lt = a < b
-    # highest differing limb decides; scan from low to high
-    at = jnp.moveaxis(gt, -1, 0)
-    lt_t = jnp.moveaxis(lt, -1, 0)
-
-    def step(acc, gl):
-        g, l = gl
-        return jnp.where(g, True, jnp.where(l, False, acc)), None
-
-    res, _ = jax.lax.scan(step, jnp.ones_like(at[0]), (at, lt_t))
-    return res
+    acc = jnp.ones(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), bool)
+    for i in range(a.shape[-1]):  # low to high; highest differing limb wins
+        acc = jnp.where(a[..., i] > b[..., i], True,
+                        jnp.where(a[..., i] < b[..., i], False, acc))
+    return acc

@@ -158,14 +158,18 @@ class DeviceCurveGroup:
         return blocked_reduce(add, run, inf)
 
     def _msm_impl(self, P, scalars):
-        """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical."""
+        """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical.
+
+        All windows are processed as one vmapped batch so every sequential
+        scan step works on (W, ...) tensors — depth stays O(block), work per
+        step is W-wide (dispatch overhead amortized, TPU lanes kept full).
+        """
         cf = self.cf
         W = self.nwindows
-
-        def body(_, w):
-            return None, self._window_sum(P, self._digits(scalars, w))
-
-        _, S = jax.lax.scan(body, None, jnp.arange(W))
+        digits_all = jnp.stack(
+            [self._digits(scalars, w) for w in range(W)], axis=0
+        )  # (W, N)
+        S = jax.vmap(lambda d: self._window_sum(P, d))(digits_all)
 
         def outer(i, acc):
             def dbl(_, a):
