@@ -203,10 +203,13 @@ class DeviceField:
         single element — the device-friendly replacement for arkworks'
         sequential `batch_inversion`.
         """
+        from .scan_utils import blocked_scan
+
         z = self.is_zero(a)
         x = jnp.where(z[..., None], self.ones(a.shape[:-1]), a)
-        prefix = jax.lax.associative_scan(self.mul, x, axis=0)
-        suffix = jax.lax.associative_scan(self.mul, x, axis=0, reverse=True)
+        one = self.ones(a.shape[1:-1])
+        prefix = blocked_scan(self.mul, x, one)
+        suffix = blocked_scan(self.mul, x, one, reverse=True)
         total_inv = self.inv(prefix[-1])
         n = a.shape[0]
         left = jnp.concatenate([self.ones((1, *a.shape[1:-1])), prefix[: n - 1]], 0)

@@ -64,6 +64,10 @@ class DeviceCurveGroup:
         else:
             raise ValueError(group)
         self.nwindows = self.fr.L * BASE_BITS // self.c
+        # below this size on CPU, MSMs run on host ints (avoids piling up
+        # XLA compiles for every tiny protocol-layer MSM); the device path
+        # always serves TPU and large batches
+        self.small_host_threshold = 512 if jax.default_backend() == "cpu" else 0
         self._msm_jit = jax.jit(self._msm_impl)
         self._fixed_base_jit = jax.jit(self._fixed_base_impl)
         self._table = jax.jit(self._table_impl)
@@ -91,6 +95,9 @@ class DeviceCurveGroup:
 
     def decode_points(self, p) -> list[AffinePoint]:
         """Jacobian device arrays -> host affine points."""
+        n = jax.tree.leaves(p)[0].shape[0]
+        if n <= self.small_host_threshold:
+            return self.decode_points_host(p)
         x, y, inf = to_affine(self.cf, p)
         inf = np.asarray(jax.device_get(inf)).reshape(-1)
         if self.group == "g1":
@@ -113,6 +120,57 @@ class DeviceCurveGroup:
         P = tuple(c[None] for c in p)
         return self.decode_points(P)[0]
 
+    # ------- host-only decoding (no device compute, hence no compiles) -------
+    def _limbs_to_int_demont(self, limbs) -> int:
+        v = 0
+        for x in reversed(limbs.tolist()):
+            v = (v << BASE_BITS) | int(x)
+        p = self.fq.spec.modulus
+        return v * pow(self.fq.R, -1, p) % p
+
+    def _coord_host(self, arr, i):
+        if self.group == "g1":
+            return self._limbs_to_int_demont(arr[i])
+        return (
+            self._limbs_to_int_demont(arr[i, 0]),
+            self._limbs_to_int_demont(arr[i, 1]),
+        )
+
+    def decode_points_host(self, P) -> list[AffinePoint]:
+        """Jacobian device arrays -> host affine, all math in Python ints."""
+        X, Y, Z = (np.asarray(jax.device_get(c)) for c in P)
+        p = self.fq.spec.modulus
+        host = self.host_group
+        f = host.f
+        out = []
+        for i in range(X.shape[0]):
+            z = self._coord_host(Z, i)
+            if (z == 0) if self.group == "g1" else (z == (0, 0)):
+                out.append(host.infinity)
+                continue
+            x = self._coord_host(X, i)
+            y = self._coord_host(Y, i)
+            zinv = f.inv(z)
+            zinv2 = f.mul(zinv, zinv)
+            out.append(
+                AffinePoint(f.mul(x, zinv2), f.mul(y, f.mul(zinv, zinv2)))
+            )
+        return out
+
+    def _scalars_host(self, scalars) -> list[int]:
+        arr = np.asarray(jax.device_get(scalars))
+        out = []
+        for i in range(arr.shape[0]):
+            v = 0
+            for x in reversed(arr[i].tolist()):
+                v = (v << BASE_BITS) | int(x)
+            out.append(v)
+        return out
+
+    def encode_point(self, pt: AffinePoint):
+        P = self.encode_points([pt])
+        return jax.tree.map(lambda c: c[0], P)
+
     def encode_scalars(self, scalars: list[int]) -> jnp.ndarray:
         """Canonical (non-Montgomery) Fr limbs for MSM digit extraction."""
         r = self.fr.spec.modulus
@@ -122,8 +180,12 @@ class DeviceCurveGroup:
     def msm(self, P, scalars):
         """Public MSM entry: pads N to a power of two (>= 8) so compiled
         graphs are reused across nearby sizes (infinity points / zero scalars
-        are absorbing)."""
+        are absorbing). Tiny CPU batches run on host ints instead."""
         n = scalars.shape[0]
+        if n <= self.small_host_threshold:
+            pts = self.decode_points_host(P)
+            ss = self._scalars_host(scalars)
+            return self.encode_point(self.host_group.msm(pts, ss))
         np2 = max(8, 1 << (n - 1).bit_length())
         if np2 != n:
             pad = point_infinity(self.cf, (np2 - n,))
@@ -218,7 +280,18 @@ class DeviceCurveGroup:
         )
 
     def fixed_base_msm(self, table, scalars):
-        """Public fixed-base entry with the same power-of-two padding."""
+        """Public fixed-base entry with the same power-of-two padding.
+
+        `table` may be a lazy FixedBase wrapper (preferred) or raw device
+        window tables.
+        """
+        if isinstance(table, FixedBase):
+            n = scalars.shape[0]
+            if n <= self.small_host_threshold:
+                ss = self._scalars_host(scalars)
+                pts = [self.host_group.mul(table.base_affine, s) for s in ss]
+                return self.encode_points(pts)
+            table = table.table
         n = scalars.shape[0]
         np2 = max(8, 1 << (n - 1).bit_length())
         if np2 != n:
@@ -233,6 +306,24 @@ class DeviceCurveGroup:
         base = self.encode_points([base_affine])
         base = jax.tree.map(lambda c: c[0], base)
         return self._table(base)
+
+    def fixed_base(self, base_affine: AffinePoint) -> "FixedBase":
+        """Lazy fixed-base context: the device window table is only built on
+        first large-batch use (table construction is itself a big kernel)."""
+        return FixedBase(self, base_affine)
+
+
+class FixedBase:
+    def __init__(self, dg: DeviceCurveGroup, base_affine: AffinePoint):
+        self.dg = dg
+        self.base_affine = base_affine
+        self._table = None
+
+    @property
+    def table(self):
+        if self._table is None:
+            self._table = self.dg.fixed_base_table(self.base_affine)
+        return self._table
 
 
 @functools.lru_cache(maxsize=None)

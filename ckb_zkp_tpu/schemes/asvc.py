@@ -76,7 +76,7 @@ def key_gen(curve: PairingCurve, n: int, rng: random.Random) -> Parameters:
     g2 = curve.g2.mul(curve.g2_gen, rng.randrange(1, p))
 
     dg1 = device_group(curve, "g1")
-    t1 = dg1.fixed_base_table(g1)
+    t1 = dg1.fixed_base(g1)
     taus = fr.from_mont(fr.powers(tau, size + 1))
     powers_of_g1 = dg1.fixed_base_msm(t1, taus)
     powers_of_g2 = [curve.g2.mul(g2, pow(tau, i, p)) for i in range(size + 1)]

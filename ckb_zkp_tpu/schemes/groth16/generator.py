@@ -74,8 +74,8 @@ def generate_parameters_from_shape(
 
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
-    t1 = dg1.fixed_base_table(curve.g1_gen)
-    t2 = dg2.fixed_base_table(curve.g2_gen)
+    t1 = dg1.fixed_base(curve.g1_gen)
+    t2 = dg2.fixed_base(curve.g2_gen)
 
     def canon(x):
         return fr.from_mont(x)

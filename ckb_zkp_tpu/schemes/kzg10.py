@@ -77,8 +77,8 @@ def setup(curve: PairingCurve, max_degree: int, rng: random.Random) -> Universal
     fr = device_field(curve.fr)
     dg1 = device_group(curve, "g1")
     powers_beta = fr.from_mont(fr.powers(beta, max_degree + 1))
-    tg = dg1.fixed_base_table(g)
-    tgamma = dg1.fixed_base_table(gamma_g)
+    tg = dg1.fixed_base(g)
+    tgamma = dg1.fixed_base(gamma_g)
     powers_of_g = dg1.fixed_base_msm(tg, powers_beta)
     powers_of_gamma_g = dg1.fixed_base_msm(tgamma, powers_beta)
     return UniversalParams(

@@ -16,6 +16,14 @@ def curve(request):
     return get_curve(request.param)
 
 
+@pytest.fixture(autouse=True)
+def force_device_msm(curve):
+    # these tests exercise the device kernels; disable the host shortcut
+    for grp in ("g1", "g2"):
+        device_group(curve, grp).small_host_threshold = 0
+    yield
+
+
 def rand_points(curve, group, n):
     g = curve.g1 if group == "g1" else curve.g2
     gen = curve.g1_gen if group == "g1" else curve.g2_gen
@@ -88,7 +96,7 @@ def test_msm_repeated_points(curve):
 def test_fixed_base_msm(curve):
     dg = device_group(curve, "g1")
     host = dg.host_group
-    table = dg.fixed_base_table(curve.g1_gen)
+    table = dg.fixed_base_table(curve.g1_gen)  # raw device table path
     scalars = [0, 1, 2, RNG.randrange(curve.fr.modulus), curve.fr.modulus - 1]
     got = dg.decode_points(dg.fixed_base_msm(table, dg.encode_scalars(scalars)))
     assert got == [host.mul(curve.g1_gen, s) for s in scalars]
