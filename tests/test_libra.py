@@ -1,0 +1,46 @@
+"""Libra plain linear GKR (mirrors /root/reference/libra/tests/test.rs)."""
+
+import pytest
+
+from ckb_zkp_tpu.host.pairing import get_curve
+from ckb_zkp_tpu.schemes.libra import Circuit, LinearGKRProof
+
+
+@pytest.fixture(scope="module")
+def curve():
+    return get_curve("bls12_381")
+
+
+def reference_circuit():
+    """The layered test circuit from libra/tests/test.rs:21-58."""
+    inputs = list(range(1, 9))
+    witnesses = list(range(9, 17))
+    layers = [
+        [(1, 0, 1), (0, 2, 3), (0, 4, 5), (1, 6, 7),
+         (1, 15, 8), (1, 9, 10), (0, 11, 12), (0, 13, 14)],
+        [(1, 0, 1), (0, 2, 3), (0, 4, 5), (1, 6, 7)],
+        [(0, 0, 1), (0, 1, 2), (1, 2, 3), (1, 1, 3)],
+    ]
+    return inputs, witnesses, layers
+
+
+def test_circuit_evaluate(curve):
+    p = curve.fr.modulus
+    inputs, witnesses, layers = reference_circuit()
+    circuit = Circuit(len(inputs), len(witnesses), layers)
+    evals = circuit.evaluate(p, inputs, witnesses)
+    assert len(evals) == circuit.depth
+    assert len(evals[-1]) == 4
+
+
+def test_libra_linear_gkr(curve):
+    inputs, witnesses, layers = reference_circuit()
+    circuit = Circuit(len(inputs), len(witnesses), layers)
+    chash = circuit.circuit_to_hash(curve)
+    proof, output = LinearGKRProof.prover(curve, circuit, inputs, witnesses, chash)
+    inputs2 = witnesses + inputs
+    assert proof.verify(curve, circuit, output, inputs2, chash)
+    # tampered output fails
+    bad = list(output)
+    bad[0] = (bad[0] + 1) % curve.fr.modulus
+    assert not proof.verify(curve, circuit, bad, inputs2, chash)
