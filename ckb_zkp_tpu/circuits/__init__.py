@@ -5,6 +5,7 @@ hash.rs). `power_on`/`power_off` mirror the reference's construct-with/without
 witness convention.
 """
 
+from .hash import Hash
 from .mini import Mini
 
-__all__ = ["Mini"]
+__all__ = ["Hash", "Mini"]
