@@ -222,16 +222,17 @@ class DeviceCurveGroup:
     def _msm_impl(self, P, scalars):
         """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical.
 
-        All windows are processed as one vmapped batch so every sequential
-        scan step works on (W, ...) tensors — depth stays O(block), work per
-        step is W-wide (dispatch overhead amortized, TPU lanes kept full).
+        Windows run under lax.scan (one traced instance, sequential at
+        runtime): batching windows with vmap multiplies every scan
+        intermediate by the window count and blows out HBM at 2^16+ points.
         """
         cf = self.cf
         W = self.nwindows
-        digits_all = jnp.stack(
-            [self._digits(scalars, w) for w in range(W)], axis=0
-        )  # (W, N)
-        S = jax.vmap(lambda d: self._window_sum(P, d))(digits_all)
+
+        def body(_, w):
+            return None, self._window_sum(P, self._digits(scalars, w))
+
+        _, S = jax.lax.scan(body, None, jnp.arange(W))
 
         def outer(i, acc):
             def dbl(_, a):
@@ -337,9 +338,8 @@ def device_group(
     curve: PairingCurve, group: str, window_bits: int | None = None
 ) -> DeviceCurveGroup:
     if window_bits is None:
-        import jax as _jax
-
-        # small windows keep CPU unit tests fast; 16-bit windows amortize
-        # bucket-reduction cost at production sizes on TPU
-        window_bits = 8 if _jax.default_backend() == "cpu" else 16
+        # 8-bit windows: 256-bucket reduction keeps XLA graphs small (the
+        # 2^16-bucket variant compiles pathologically slowly); scan work per
+        # window doubles but stays N-dominated for large MSMs
+        window_bits = 8
     return _device_group_by_name(curve.name, group, window_bits)

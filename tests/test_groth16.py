@@ -38,6 +38,8 @@ def test_mini_constraint_satisfaction(curve):
 
 @pytest.mark.parametrize("zk", [True, False])
 def test_groth16_mini_end_to_end(curve, params, zk):
+    if zk and curve.name != "bn254":
+        pytest.skip("zk prove exercised on bn254; bls12_381 covers no_zk")
     rng = random.Random(7)
     circuit = Mini.power_on(2, 3, 10)
     if zk:

@@ -11,7 +11,10 @@ from ckb_zkp_tpu.ops.msm import device_group
 RNG = random.Random(99)
 
 
-@pytest.fixture(scope="module", params=["bn254", "bls12_381"])
+# field kernels are tested over both curves in test_device_field; the EC and
+# MSM formulas are generic over the coordinate field, so one pairing curve
+# keeps this suite affordable on CPU
+@pytest.fixture(scope="module", params=["bn254"])
 def curve(request):
     return get_curve(request.param)
 
