@@ -2,7 +2,7 @@
 """Framework benchmark — prints ONE JSON line for the driver.
 
 Headline metric: Groth16 (BN254) prove wall-clock for a 2^K-constraint R1CS
-on the available accelerator (K = $BENCH_LOG2, default 18 this round).
+on the available accelerator (K = $BENCH_LOG2, default 16 this round).
 
 `vs_baseline` is measured_speedup vs an *estimated* single-host wall-clock of
 the reference Rust prover (arkworks + rayon): ~15 s at 2^20 constraints on a
@@ -19,7 +19,7 @@ import time
 
 
 def main() -> None:
-    k = int(os.environ.get("BENCH_LOG2", "18"))
+    k = int(os.environ.get("BENCH_LOG2", "16"))
     n = 1 << k
 
     import jax
