@@ -2,8 +2,10 @@
 
 import pytest
 
+import random
+
 from ckb_zkp_tpu.host.pairing import get_curve
-from ckb_zkp_tpu.schemes.libra import Circuit, LinearGKRProof
+from ckb_zkp_tpu.schemes.libra import Circuit, LinearGKRProof, Parameters, ZKLinearGKRProof
 
 
 @pytest.fixture(scope="module")
@@ -44,3 +46,19 @@ def test_libra_linear_gkr(curve):
     bad = list(output)
     bad[0] = (bad[0] + 1) % curve.fr.modulus
     assert not proof.verify(curve, circuit, bad, inputs2, chash)
+
+
+def test_libra_zk_linear_gkr(curve):
+    rng = random.Random(88)
+    inputs, witnesses, layers = reference_circuit()
+    circuit = Circuit(len(inputs), len(witnesses), layers)
+    params = Parameters.new(curve, rng, 8)
+    chash = circuit.circuit_to_hash(curve)
+    phash = params.param_to_hash()
+    proof, output = ZKLinearGKRProof.prover(
+        params, circuit, inputs, witnesses, chash, phash, rng
+    )
+    assert proof.verify(params, circuit, output, inputs, chash, phash)
+    bad = list(output)
+    bad[0] = (bad[0] + 1) % curve.fr.modulus
+    assert not proof.verify(params, circuit, bad, inputs, chash, phash)
