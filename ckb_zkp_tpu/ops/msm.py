@@ -300,7 +300,18 @@ class DeviceCurveGroup:
                 [scalars, jnp.zeros((np2 - n, scalars.shape[1]), scalars.dtype)],
                 axis=0,
             )
-        out = self._fixed_base_jit(table, scalars)
+        # chunk big batches: a full-width EC add materializes (N, L, L) mul
+        # temporaries — at 2^18 G2 scalars that OOMs HBM. One compiled graph
+        # serves every chunk.
+        chunk = (1 << 15) if self.group == "g1" else (1 << 14)
+        if np2 > chunk:
+            parts = [
+                self._fixed_base_jit(table, scalars[i : i + chunk])
+                for i in range(0, np2, chunk)
+            ]
+            out = jax.tree.map(lambda *cs: jnp.concatenate(cs, axis=0), *parts)
+        else:
+            out = self._fixed_base_jit(table, scalars)
         return jax.tree.map(lambda c: c[:n], out)
 
     def fixed_base_table(self, base_affine: AffinePoint):

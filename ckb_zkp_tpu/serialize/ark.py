@@ -42,7 +42,10 @@ class FieldCodec:
         return (x, flags) if with_flags else x
 
     def read(self, buf: io.BytesIO, with_flags: bool = False):
-        return self.from_bytes(buf.read(self.nbytes), with_flags)
+        data = buf.read(self.nbytes)
+        if len(data) != self.nbytes:
+            raise ValueError("truncated field element")
+        return self.from_bytes(data, with_flags)
 
 
 def _fq2_sqrt(tower: Tower, a):
