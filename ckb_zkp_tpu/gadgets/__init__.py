@@ -1,27 +1,32 @@
 """Circuit gadget library over the R1CS front-end.
 
-Parity target: /root/reference/gadgets/src (8.9k LoC). Implemented this
-round: AbstractHash protocol, MiMC (native + gadget, LongsightF322p3),
-boolean/AllocatedBit algebra, AllocatedFr, rangeproof, and the
-TestConstraintSystem debugging backend. Tracked for next round: poseidon,
-rescue, sha256, blake2s, uint32, lookup tables, multieq, CBMT merkle tree
-gadgets.
+Parity target: /root/reference/gadgets/src (8.9k LoC): AbstractHash
+protocol, MiMC (native + gadget, LongsightF322p3), boolean/AllocatedBit
+algebra (incl. sha256 ch/maj), UInt32, MultiEq, SHA-256, BLAKE2s,
+AllocatedFr, rangeproof, and the TestConstraintSystem debugging backend.
 """
 
-from . import mimc
+from . import blake2s, mimc, sha256
 from .abstract_hash import AbstractHash, AbstractHashOutput
-from .boolean import AllocatedBit, Boolean
+from .boolean import AllocatedBit, Boolean, u64_into_boolean_vec_le
 from .fr import AllocatedFr
+from .multieq import MultiEq
 from .rangeproof import enforce_greater_than
 from .test_constraint_system import TestConstraintSystem
+from .uint32 import UInt32
 
 __all__ = [
     "mimc",
+    "sha256",
+    "blake2s",
     "AbstractHash",
     "AbstractHashOutput",
     "AllocatedBit",
     "Boolean",
+    "u64_into_boolean_vec_le",
     "AllocatedFr",
+    "MultiEq",
+    "UInt32",
     "enforce_greater_than",
     "TestConstraintSystem",
 ]

@@ -1,10 +1,9 @@
 """Boolean/bit gadgets.
 
-Parity (subset): /root/reference/gadgets/src/algebra/boolean.rs:9-1817 —
+Parity: /root/reference/gadgets/src/algebra/boolean.rs:9-1817 —
 AllocatedBit with booleanity constraint, xor/and/and_not/nor, Boolean
-wrapper (constant or allocated, with negation), field-element bit
-decomposition. The sha256-specific ch/maj helpers and full Boolean algebra
-surface are tracked for the next round.
+wrapper (constant or allocated, with negation), sha256 ch/maj single
+-constraint helpers, u64/field bit decomposition, enforce_equal.
 """
 
 from __future__ import annotations
@@ -108,6 +107,18 @@ class Boolean:
             return Boolean.from_bit(AllocatedBit.xor(cs, a.bit, b.bit))
         return Boolean(bit=AllocatedBit.xor(cs, a.bit, b.bit), negated=True)
 
+    def is_constant(self) -> bool:
+        return self.constant is not None
+
+    @staticmethod
+    def enforce_equal(cs: ConstraintSystem, a: "Boolean", b: "Boolean") -> None:
+        """boolean.rs enforce_equal: a == b as one constraint (or a check)."""
+        if a.constant is not None and b.constant is not None:
+            if a.constant != b.constant:
+                raise ValueError("unsatisfiable: unequal boolean constants")
+            return
+        cs.enforce("enforce equal", LinearCombination(), LinearCombination(), a.lc() - b.lc())
+
     @staticmethod
     def and_(cs: ConstraintSystem, a: "Boolean", b: "Boolean") -> "Boolean":
         if a.constant is not None:
@@ -121,6 +132,80 @@ class Boolean:
         if a.negated and not b.negated:
             return Boolean.from_bit(AllocatedBit.and_not(cs, b.bit, a.bit))
         return Boolean.from_bit(AllocatedBit.nor(cs, a.bit, b.bit))
+
+
+def _value3(a: Boolean, b: Boolean, c: Boolean):
+    va, vb, vc = a.get_value(), b.get_value(), c.get_value()
+    if va is None or vb is None or vc is None:
+        return None, None, None, False
+    return va, vb, vc, True
+
+
+def sha256_ch(cs: ConstraintSystem, a: Boolean, b: Boolean, c: Boolean) -> Boolean:
+    """(a and b) xor ((not a) and c) in ONE constraint (boolean.rs:463-567).
+
+    Generic case: alloc ch; enforce (b - c) * a = ch - c.
+    """
+    va, vb, vc, known = _value3(a, b, c)
+    ch_value = ((va & vb) ^ ((1 - va) & vc)) if known else None
+    if a.is_constant() and b.is_constant() and c.is_constant():
+        return Boolean.true() if ch_value else Boolean.false()
+    if a.constant is False:
+        return c
+    if b.constant is False:
+        return Boolean.and_(cs, a.not_(), c)
+    if c.constant is False:
+        return Boolean.and_(cs, a, b)
+    if c.constant is True:
+        return Boolean.and_(cs, a, b.not_()).not_()
+    if b.constant is True:
+        return Boolean.and_(cs, a.not_(), c.not_()).not_()
+    # a is Constant(true) falls through in the reference too: ch = b xor ((not a) and c) = b... the
+    # reference keeps the generic constraint, which stays sound since a.lc() is then the constant 1.
+    var = cs.alloc("ch", ch_value)
+    cs.enforce("ch computation", b.lc() - c.lc(), a.lc(), var - c.lc())
+    return Boolean.from_bit(AllocatedBit(var, ch_value))
+
+
+def sha256_maj(cs: ConstraintSystem, a: Boolean, b: Boolean, c: Boolean) -> Boolean:
+    """(a and b) xor (a and c) xor (b and c) in TWO constraints
+    (boolean.rs:570-684): bc = b*c; (2bc - b - c) * a = bc - maj."""
+    va, vb, vc, known = _value3(a, b, c)
+    maj_value = ((va & vb) ^ (va & vc) ^ (vb & vc)) if known else None
+    if a.is_constant() and b.is_constant() and c.is_constant():
+        return Boolean.true() if maj_value else Boolean.false()
+    if a.constant is False:
+        return Boolean.and_(cs, b, c)
+    if b.constant is False:
+        return Boolean.and_(cs, a, c)
+    if c.constant is False:
+        return Boolean.and_(cs, a, b)
+    if c.constant is True:
+        return Boolean.and_(cs, a.not_(), b.not_()).not_()
+    if b.constant is True:
+        return Boolean.and_(cs, a.not_(), c.not_()).not_()
+    if a.constant is True:
+        return Boolean.and_(cs, b.not_(), c.not_()).not_()
+    var = cs.alloc("maj", maj_value)
+    bc = Boolean.and_(cs, b, c)
+    cs.enforce(
+        "maj computation",
+        bc.lc() + bc.lc() - b.lc() - c.lc(),
+        a.lc(),
+        bc.lc() - var,
+    )
+    return Boolean.from_bit(AllocatedBit(var, maj_value))
+
+
+def u64_into_boolean_vec_le(
+    cs: ConstraintSystem, value: int | None
+) -> list[Boolean]:
+    """boolean.rs:693+ — 64 allocated LE bits of a u64."""
+    out = []
+    for i in range(64):
+        bv = None if value is None else (value >> i) & 1
+        out.append(Boolean.from_bit(AllocatedBit.alloc(cs, bv)))
+    return out
 
 
 def field_into_allocated_bits_le(

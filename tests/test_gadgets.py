@@ -117,3 +117,138 @@ def test_tcs_set_get_and_hash(fr):
     h1 = cs.hash()
     cs.enforce("extra", v, v, v)
     assert cs.hash() != h1
+
+
+# ---- UInt32 / MultiEq / SHA256 / BLAKE2s (uint32.rs, sha256.rs, blake2s.rs) ----
+
+from ckb_zkp_tpu.gadgets import MultiEq, UInt32  # noqa: E402
+from ckb_zkp_tpu.gadgets import blake2s as blake2s_mod  # noqa: E402
+from ckb_zkp_tpu.gadgets import sha256 as sha256_mod  # noqa: E402
+from ckb_zkp_tpu.gadgets.boolean import sha256_ch, sha256_maj  # noqa: E402
+
+
+def test_boolean_sha256_ch_maj(fr):
+    for a_v in (0, 1):
+        for b_v in (0, 1):
+            for c_v in (0, 1):
+                cs = TestConstraintSystem(fr.modulus)
+                a = Boolean.from_bit(AllocatedBit.alloc(cs, a_v))
+                b = Boolean.from_bit(AllocatedBit.alloc(cs, b_v))
+                c = Boolean.from_bit(AllocatedBit.alloc(cs, c_v))
+                ch = sha256_ch(cs, a, b, c)
+                maj = sha256_maj(cs, a, b, c)
+                assert ch.get_value() == (a_v & b_v) ^ ((1 - a_v) & c_v)
+                assert maj.get_value() == (a_v & b_v) ^ (a_v & c_v) ^ (b_v & c_v)
+                assert cs.is_satisfied()
+
+
+def test_uint32_ops(fr):
+    p = fr.modulus
+    for _ in range(10):
+        a_v, b_v, c_v, d_v = (RNG.getrandbits(32) for _ in range(4))
+        cs = TestConstraintSystem(p)
+        a = UInt32.alloc(cs, a_v)
+        b = UInt32.constant(b_v)
+        c = UInt32.constant(c_v)
+        d = UInt32.alloc(cs, d_v)
+        r = a.xor(cs, b)
+        assert r.value == a_v ^ b_v
+        with MultiEq(cs, p) as meq:
+            s = UInt32.addmany(meq, [r, c, d])
+        assert s.value == (a_v ^ b_v) + c_v + d_v & 0xFFFFFFFF
+        assert cs.is_satisfied()
+        # rotr / shr are free (no constraints) and correct
+        for by in (0, 1, 7, 31):
+            assert a.rotr(by).value == ((a_v >> by) | (a_v << (32 - by))) & 0xFFFFFFFF
+            assert a.shr(by).value == a_v >> by
+        # tamper: flip a result bit -> unsatisfied
+        bit_var = s.bits[0].bit.variable
+        cs.aux_values[bit_var.index] ^= 1
+        assert not cs.is_satisfied()
+
+
+def test_uint32_sha256_triops(fr):
+    p = fr.modulus
+    a_v, b_v, c_v = (RNG.getrandbits(32) for _ in range(3))
+    cs = TestConstraintSystem(p)
+    a = UInt32.alloc(cs, a_v)
+    b = UInt32.alloc(cs, b_v)
+    c = UInt32.constant(c_v)
+    maj = UInt32.sha256_maj(cs, a, b, c)
+    ch = UInt32.sha256_ch(cs, a, b, c)
+    assert maj.value == (a_v & b_v) ^ (a_v & c_v) ^ (b_v & c_v)
+    assert ch.value == (a_v & b_v) ^ (~a_v & c_v) & 0xFFFFFFFF
+    assert cs.is_satisfied()
+
+
+def test_sha256_gadget_matches_hashlib(fr):
+    p = fr.modulus
+    data = bytes(RNG.randrange(256) for _ in range(32))
+    cs = TestConstraintSystem(p)
+    in_bits = [
+        Boolean.from_bit(AllocatedBit.alloc(cs, int(v)))
+        for v in sha256_mod.bytes_to_bits_be(data)
+    ]
+    out = sha256_mod.sha256(cs, p, in_bits)
+    assert cs.is_satisfied()
+    assert sha256_mod.bits_to_bytes_be(out) == sha256_mod.sha256_native(data)
+
+
+def _sha256_compress_native(block: bytes, state: list[int]) -> list[int]:
+    """Plain-python SHA256 compression for cross-checking the gadget."""
+    M32 = 0xFFFFFFFF
+    rotr = lambda x, n: ((x >> n) | (x << (32 - n))) & M32
+    w = [int.from_bytes(block[i : i + 4], "big") for i in range(0, 64, 4)]
+    for i in range(16, 64):
+        s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & M32)
+    a, b, c, d, e, f, g, h = state
+    for i in range(64):
+        s1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+        ch = (e & f) ^ (~e & g & M32)
+        t1 = (h + s1 + ch + sha256_mod.ROUND_CONSTANTS[i] + w[i]) & M32
+        s0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (s0 + maj) & M32
+        h, g, f, e, d, c, b, a = g, f, e, (d + t1) & M32, c, b, a, (t1 + t2) & M32
+    return [(x + y) & M32 for x, y in zip(state, [a, b, c, d, e, f, g, h])]
+
+
+def test_sha256_block_no_padding(fr):
+    p = fr.modulus
+    data = bytes(RNG.randrange(256) for _ in range(64))
+    cs = TestConstraintSystem(p)
+    in_bits = [
+        Boolean.from_bit(AllocatedBit.alloc(cs, int(v)))
+        for v in sha256_mod.bytes_to_bits_be(data)
+    ]
+    out = sha256_mod.sha256_block_no_padding(cs, p, in_bits)
+    assert cs.is_satisfied()
+    expect = b"".join(
+        x.to_bytes(4, "big") for x in _sha256_compress_native(data, list(sha256_mod.IV))
+    )
+    assert sha256_mod.bits_to_bytes_be(out) == expect
+
+
+def test_blake2s_gadget_matches_hashlib(fr):
+    p = fr.modulus
+    for n, person in ((0, b"12345678"), (32, bytes(8)), (70, b"ZcashPrf")):
+        data = bytes(RNG.randrange(256) for _ in range(n))
+        cs = TestConstraintSystem(p)
+        in_bits = [
+            Boolean.from_bit(AllocatedBit.alloc(cs, int(v)))
+            for v in blake2s_mod.bytes_to_bits_le(data)
+        ]
+        out = blake2s_mod.blake2s(cs, p, in_bits, person)
+        assert cs.is_satisfied()
+        assert blake2s_mod.bits_to_bytes_le(out) == blake2s_mod.blake2s_native(data, person)
+
+
+def test_blake2s_blank_hash_is_free(fr):
+    p = fr.modulus
+    cs = TestConstraintSystem(p)
+    out = blake2s_mod.blake2s(cs, p, [], b"12345678")
+    assert cs.is_satisfied()
+    assert cs.num_constraints == 0  # all-constant inputs: zero constraints
+    assert blake2s_mod.bits_to_bytes_le(out) == blake2s_mod.blake2s_native(b"", b"12345678")
