@@ -6,7 +6,7 @@ algebra (incl. sha256 ch/maj), UInt32, MultiEq, SHA-256, BLAKE2s,
 AllocatedFr, rangeproof, and the TestConstraintSystem debugging backend.
 """
 
-from . import blake2s, mimc, sha256
+from . import blake2s, cbmt, lookup, mimc, poseidon, rescue, sha256
 from .abstract_hash import AbstractHash, AbstractHashOutput
 from .boolean import AllocatedBit, Boolean, u64_into_boolean_vec_le
 from .fr import AllocatedFr
@@ -19,6 +19,10 @@ __all__ = [
     "mimc",
     "sha256",
     "blake2s",
+    "poseidon",
+    "rescue",
+    "lookup",
+    "cbmt",
     "AbstractHash",
     "AbstractHashOutput",
     "AllocatedBit",

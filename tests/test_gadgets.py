@@ -252,3 +252,121 @@ def test_blake2s_blank_hash_is_free(fr):
     assert cs.is_satisfied()
     assert cs.num_constraints == 0  # all-constant inputs: zero constraints
     assert blake2s_mod.bits_to_bytes_le(out) == blake2s_mod.blake2s_native(b"", b"12345678")
+
+
+# ---- Poseidon / Rescue / lookup / CBMT (poseidon.rs, rescue.rs, table.rs, cbmt.rs) ----
+
+from ckb_zkp_tpu.gadgets import cbmt, lookup, poseidon, rescue  # noqa: E402
+
+
+def test_poseidon_gadget_matches_native(fr):
+    data = bytes(RNG.randrange(256) for _ in range(100))
+    native = poseidon.hash_bytes(fr, data)
+    cs = TestConstraintSystem(fr.modulus)
+    image, var = poseidon.poseidon_gadget(cs, fr, data)
+    assert image == native
+    assert cs.is_satisfied()
+    # 107 S-boxes x 3 + output binding
+    assert cs.num_constraints == 107 * 3 + 1
+    # tamper with the witness -> unsatisfied
+    cs.aux_values[3] = (cs.aux_values[3] + 1) % fr.modulus
+    assert not cs.is_satisfied()
+
+
+def test_rescue_gadget_matches_native(fr):
+    data = bytes(RNG.randrange(256) for _ in range(64))
+    native = rescue.hash_bytes(fr, data)
+    cs = TestConstraintSystem(fr.modulus)
+    image, var = rescue.rescue_gadget(cs, fr, data)
+    assert image == native
+    assert cs.is_satisfied()
+    assert cs.num_constraints == 44 * 3 * 3 + 1
+    cs.aux_values[4] = (cs.aux_values[4] + 1) % fr.modulus
+    assert not cs.is_satisfied()
+
+
+def test_rescue_alpha_inverse(fr):
+    rc = rescue.constants(fr)
+    x = RNG.randrange(1, fr.modulus)
+    assert pow(pow(x, rescue.ALPHA, fr.modulus), rc.invalpha, fr.modulus) == x
+
+
+def test_lookup_gadgets(fr):
+    p = fr.modulus
+    c2 = [RNG.randrange(p) for _ in range(4)]
+    c8 = [RNG.randrange(p) for _ in range(8)]
+    cxy = [(RNG.randrange(p), RNG.randrange(p)) for _ in range(8)]
+    for idx in range(8):
+        bits_v = [(idx >> k) & 1 for k in range(3)]
+        cs = TestConstraintSystem(p)
+        bits = [Boolean.from_bit(AllocatedBit.alloc(cs, v)) for v in bits_v]
+        if idx < 2:
+            r1 = lookup.lookup1_x(cs, bits[0], c2[:2])
+            assert r1.value == c2[idx & 1]
+        if idx < 4:
+            r2 = lookup.lookup2_x(cs, bits[:2], c2)
+            assert r2.value == c2[idx & 3]
+        r3 = lookup.lookup3_x(cs, bits, c8, p)
+        assert r3.value == c8[idx]
+        rx, ry = lookup.lookup3_xy(cs, bits, cxy, p)
+        assert (rx.value, ry.value) == cxy[idx]
+        assert cs.is_satisfied()
+
+
+def test_lookup_synth_inclusion_exclusion(fr):
+    p = fr.modulus
+    consts = [RNG.randrange(p) for _ in range(8)]
+    coeffs = lookup.synth(3, consts, p)
+    for i in range(8):
+        # sum of coeffs over submasks of i == consts[i]
+        acc = sum(coeffs[m] for m in range(8) if m & i == m) % p
+        assert acc == consts[i]
+
+
+def test_cbmt_native_reference_vectors(fr):
+    """cbmt.rs tests:253-338 with the i32 wrapping-sub merge."""
+    def merge_i32(l, r):  # wrapping i32 subtraction
+        v = (r - l) & 0xFFFFFFFF
+        return v - (1 << 32) if v >= 1 << 31 else v
+
+    tree = cbmt.build_merkle_tree([2, 3, 5, 7, 11], merge_i32)
+    assert tree.nodes == [4, -2, 2, 4, 2, 3, 5, 7, 11]
+    assert cbmt.build_merkle_root([2, 3, 5, 7, 11], merge_i32) == 4
+    proof = cbmt.build_merkle_proof([2, 3, 5, 7, 11, 13], 5, merge_i32)
+    assert proof.lemmas == [11, 2, 1]
+    assert proof.root(13) == 1
+    single = cbmt.build_merkle_proof([2], 0, merge_i32)
+    assert single.lemmas == []
+    assert single.root(2) == 2
+    # rebuild-proof path (cbmt.rs:301-317)
+    tree2 = cbmt.build_merkle_tree([2, 3, 5, 7, 11], merge_i32)
+    pf = tree2.build_proof(3)
+    leaf = tree2.nodes[pf.index]
+    assert cbmt.MerkleProof(pf.index, list(pf.lemmas), merge_i32).verify(tree2.root(), leaf)
+
+
+def test_cbmt_merkle_gadget_mimc(fr):
+    """cbmt_constraints.rs test_merkle_tree_mimc, 7 leaves."""
+    p = fr.modulus
+
+    def merge_mimc(left, right):
+        data = int(left).to_bytes(fr.nbytes, "little") + int(right).to_bytes(
+            fr.nbytes, "little"
+        )
+        return mimc.hash_bytes(fr, data)
+
+    leaves = [1, 2, 3, 4, 5, 6, 7]
+    tree = cbmt.build_merkle_tree(leaves, merge_mimc)
+    root = tree.root()
+    cs = TestConstraintSystem(p)
+    hasher = mimc.AbstractHashMimc(fr)
+    n_root = mimc.AbstractHashMimcOutput.alloc(cs, root)
+    for i, leaf in enumerate(leaves):
+        proof = tree.build_proof(i)
+        assert proof.verify(root, leaf)
+        n_leaf = mimc.AbstractHashMimcOutput.alloc(cs, leaf)
+        lemmas = [mimc.AbstractHashMimcOutput.alloc(cs, v) for v in proof.lemmas]
+        g = cbmt.MerkleProofGadget(proof.index, lemmas, hasher)
+        with cs.ns(f"set_membership_{i}"):
+            g.set_membership(cs, n_root, n_leaf)
+    assert cs.is_satisfied()
