@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import pickle
 import random
 import sys
 from pathlib import Path
@@ -11,7 +12,10 @@ from pathlib import Path
 from ..circuits import Hash, Mini
 from ..host.pairing import get_curve
 from ..schemes import groth16
+from ..schemes.bulletproofs import arithmetic_circuit as bulletproofs
 from ..schemes.groth16 import serialize as g16ser
+from ..schemes.spartan import nizk as spartan_nizk
+from ..schemes.spartan import snark as spartan_snark
 from ..serialize.tobytes import fr_bytes
 
 SETUP_DIR = Path("setup_files")
@@ -33,39 +37,92 @@ def _circuit(name: str, curve, args: list[str], power_on: bool):
     raise SystemExit(f"unknown circuit {name!r} (expected mini|hash)")
 
 
+SCHEMES = ("groth16", "bulletproofs", "spartan_snark", "spartan_nizk")
+
+
 def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None = None):
-    """groth16 trusted setup -> setup_files/*.pk/.vk (cli/src/setup.rs)."""
-    assert scheme == "groth16", "setup currently supports groth16"
+    """Trusted/universal setup -> setup_files/* (cli/src/setup.rs:89-130).
+
+    groth16 writes ark-compatible .pk/.vk byte files; the spartan variants
+    write a .universal_setup artifact (framework codec) like the reference's
+    spartan universal_setup files.
+    """
     curve = get_curve(curve_name)
     rng = random.Random(seed)
     circuit, _ = _circuit(circuit_name, curve, [], power_on=False)
-    params = groth16.generate_random_parameters(circuit, curve, rng)
     SETUP_DIR.mkdir(exist_ok=True)
-    pk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.pk"
-    vk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.vk"
-    pk_path.write_bytes(g16ser.parameters_to_bytes(params))
-    vk_path.write_bytes(g16ser.vk_to_bytes(curve, params.vk))
-    print(f"wrote {pk_path} and {vk_path}")
-    return pk_path, vk_path
+    if scheme == "groth16":
+        params = groth16.generate_random_parameters(circuit, curve, rng)
+        pk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.pk"
+        vk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.vk"
+        pk_path.write_bytes(g16ser.parameters_to_bytes(params))
+        vk_path.write_bytes(g16ser.vk_to_bytes(curve, params.vk))
+        print(f"wrote {pk_path} and {vk_path}")
+        return pk_path, vk_path
+    if scheme == "spartan_snark":
+        setup = spartan_snark.generate_random_parameters(curve, circuit, rng)
+        path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
+        path.write_bytes(pickle.dumps(setup))
+        print(f"wrote {path}")
+        return (path,)
+    if scheme == "spartan_nizk":
+        r1cs = spartan_nizk.generate_r1cs(curve, circuit)
+        params = spartan_nizk.generate_setup_parameters(
+            curve, rng, r1cs.num_aux, r1cs.num_inputs
+        )
+        path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
+        path.write_bytes(pickle.dumps((params, r1cs)))
+        print(f"wrote {path}")
+        return (path,)
+    raise SystemExit(f"setup supports groth16|spartan_snark|spartan_nizk, not {scheme!r}")
 
 
 def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], seed=None):
-    """Prove and write proof_files/*.proof.json (cli/src/zkp_prove.rs)."""
-    assert scheme == "groth16", "prove currently supports groth16"
+    """Prove and write proof_files/*.proof.json (cli/src/zkp_prove.rs:16-173)."""
+    if scheme not in SCHEMES:
+        raise SystemExit(f"unknown scheme {scheme!r} (expected one of {SCHEMES})")
     curve = get_curve(curve_name)
     circuit, publics = _circuit(circuit_name, curve, args, power_on=True)
-    pk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.pk"
-    params = g16ser.parameters_from_bytes(curve, pk_path.read_bytes())
     rng = random.Random(seed)
-    proof = groth16.create_random_proof(params, circuit, rng)
+    name = f"{scheme}-{curve.name}-{circuit_name}"
+    if scheme == "groth16":
+        params = g16ser.parameters_from_bytes(
+            curve, (SETUP_DIR / f"{name}.pk").read_bytes()
+        )
+        proof = groth16.create_random_proof(params, circuit, rng)
+        proof_hex = g16ser.proof_to_bytes(curve, proof).hex()
+    elif scheme == "bulletproofs":
+        gens, r1cs, proof = bulletproofs.create_random_proof(curve, circuit, rng)
+        proof_hex = pickle.dumps((gens, r1cs, proof)).hex()
+    elif scheme == "spartan_snark":
+        setup = pickle.loads((SETUP_DIR / f"{name}.universal_setup").read_bytes())
+        hashes = (
+            setup.r1cs.r1cs_to_hash(),
+            spartan_snark.snark_params_to_hash(curve, setup.params),
+            spartan_snark.encode_to_hash(curve, setup.encode_commit),
+        )
+        proof = spartan_snark.create_snark_proof(
+            curve, setup.params, setup.r1cs, circuit,
+            setup.encode, setup.encode_commit, *hashes, rng,
+        )
+        proof_hex = pickle.dumps((proof, hashes)).hex()
+    else:  # spartan_nizk
+        params, r1cs = pickle.loads(
+            (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+        )
+        hashes = (r1cs.r1cs_to_hash(), spartan_nizk.params_to_hash(curve, params))
+        proof = spartan_nizk.create_nizk_proof(
+            curve, params, r1cs, circuit, *hashes, rng
+        )
+        proof_hex = pickle.dumps((proof, hashes)).hex()
     PROOF_DIR.mkdir(exist_ok=True)
-    out = PROOF_DIR / f"{scheme}-{curve.name}-{circuit_name}.proof.json"
+    out = PROOF_DIR / f"{name}.proof.json"
     payload = {
         "circuit": circuit_name,
         "scheme": scheme,
         "curve": curve.name,
         "params": b"".join(fr_bytes(curve, x) for x in publics).hex(),
-        "proof": g16ser.proof_to_bytes(curve, proof).hex(),
+        "proof": proof_hex,
     }
     out.write_text(json.dumps(payload))
     print(f"wrote {out}")
@@ -73,21 +130,41 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
 
 
 def verify_cmd(proof_file: str) -> bool:
-    """Verify a proof JSON (cli/src/zkp_verify.rs)."""
+    """Verify a proof JSON (cli/src/zkp_verify.rs:132-163)."""
     payload = json.loads(Path(proof_file).read_text())
     scheme = payload["scheme"]
-    assert scheme == "groth16", "verify currently supports groth16"
+    if scheme not in SCHEMES:
+        raise SystemExit(f"unknown scheme {scheme!r} (expected one of {SCHEMES})")
     curve = get_curve(payload["curve"])
-    vk_path = SETUP_DIR / f"{scheme}-{curve.name}-{payload['circuit']}.vk"
-    vk = g16ser.vk_from_bytes(curve, vk_path.read_bytes())
-    proof = g16ser.proof_from_bytes(curve, bytes.fromhex(payload["proof"]))
+    name = f"{scheme}-{curve.name}-{payload['circuit']}"
     raw = bytes.fromhex(payload["params"])
     nb = curve.fr.nbytes
     publics = [
         int.from_bytes(raw[i : i + nb], "little") for i in range(0, len(raw), nb)
     ]
-    pvk = groth16.prepare_verifying_key(curve, vk)
-    ok = groth16.verify_proof(curve, pvk, proof, publics)
+    if scheme == "groth16":
+        vk = g16ser.vk_from_bytes(curve, (SETUP_DIR / f"{name}.vk").read_bytes())
+        proof = g16ser.proof_from_bytes(curve, bytes.fromhex(payload["proof"]))
+        pvk = groth16.prepare_verifying_key(curve, vk)
+        ok = groth16.verify_proof(curve, pvk, proof, publics)
+    elif scheme == "bulletproofs":
+        gens, r1cs, proof = pickle.loads(bytes.fromhex(payload["proof"]))
+        ok = bulletproofs.verify_proof(curve, gens, proof, r1cs, publics)
+    elif scheme == "spartan_snark":
+        setup = pickle.loads((SETUP_DIR / f"{name}.universal_setup").read_bytes())
+        proof, hashes = pickle.loads(bytes.fromhex(payload["proof"]))
+        ok = spartan_snark.verify_snark_proof(
+            curve, setup.params, setup.r1cs, publics, proof,
+            setup.encode_commit, *hashes,
+        )
+    else:  # spartan_nizk
+        params, r1cs = pickle.loads(
+            (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+        )
+        proof, hashes = pickle.loads(bytes.fromhex(payload["proof"]))
+        ok = spartan_nizk.verify_nizk_proof(
+            curve, params, r1cs, publics, proof, *hashes
+        )
     print("verify:", ok)
     return ok
 

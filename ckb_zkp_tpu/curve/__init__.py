@@ -8,18 +8,19 @@ an MSM entry point. Here the registry hands out the host `PairingCurve`
 device kernel otherwise, mirroring the reference's `Curve::
 vartime_multiscalar_mul` default.
 
-The non-pairing Ristretto25519 backend (reference `zkp-curve25519`) is
-tracked for the next round; Spartan/Hyrax/Bulletproofs are already generic
-over this interface.
+The non-pairing Ristretto25519 backend (reference `zkp-curve25519`,
+host/ristretto.py) plugs into the same registry: Spartan/Hyrax/Bulletproofs
+only touch `fr`, `g1` group ops, and `g1_gen`, so they run on it unchanged.
 """
 
 from __future__ import annotations
 
 from ..host.curves import AffinePoint
 from ..host.pairing import PairingCurve, get_curve
+from ..host.ristretto import Curve25519
 from ..ops.msm import DeviceCurveGroup, device_group
 
-SUPPORTED = ("bn254", "bls12_381")
+SUPPORTED = ("bn254", "bls12_381", "curve25519")
 
 
 def curves() -> tuple[str, ...]:
@@ -30,6 +31,17 @@ class Curve:
     """Unified view: host groups + device MSM for one named curve."""
 
     def __init__(self, name: str):
+        if name == "curve25519":
+            c = Curve25519()
+            self.inner = c
+            self.name = c.name
+            self.fr = c.fr
+            self.fq = c.fq
+            self.g1 = c.g1
+            self.g2 = None
+            self.g1_gen = c.g1_gen
+            self.g2_gen = None
+            return
         self.inner: PairingCurve = get_curve(name)
         self.name = self.inner.name
         self.fr = self.inner.fr
@@ -40,11 +52,15 @@ class Curve:
         self.g2_gen = self.inner.g2_gen
 
     def device(self, group: str = "g1") -> DeviceCurveGroup:
+        if self.name == "curve25519":
+            raise NotImplementedError("curve25519 runs host group ops (no device kernels yet)")
         return device_group(self.inner, group)
 
     def vartime_multiscalar_mul(
         self, scalars: list[int], points: list[AffinePoint], group: str = "g1"
     ) -> AffinePoint:
+        if self.name == "curve25519":
+            return self.g1.msm(points, scalars)
         dg = self.device(group)
         if len(points) <= dg.small_host_threshold:
             host = self.g1 if group == "g1" else self.g2
@@ -54,4 +70,6 @@ class Curve:
         return dg.decode_point(dg.msm(P, s))
 
     def pairing(self, p: AffinePoint, q: AffinePoint):
+        if self.name == "curve25519":
+            raise NotImplementedError("curve25519 is a non-pairing group")
         return self.inner.pairing(p, q)

@@ -76,29 +76,32 @@ def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def ks_resolve(t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Resolve 1-bit carries with a Kogge-Stone parallel prefix (log-depth).
+    """Resolve 1-bit carries across limbs in O(1) flat ops (bit-packed adder).
 
     t: (..., L) uint32 with every limb <= 2*MASK (limb 0 may be 2*MASK+1).
-    Returns (canonical limbs, carry_out in {0,1}). No sequential scans —
-    this keeps the whole Montgomery pipeline a flat vectorized graph, which
-    is the difference between micro-ops-deep lax.scan chains and one fused
-    elementwise kernel per field op.
+    Returns (canonical limbs, carry_out in {0,1}).
+
+    The carry recurrence c_{i+1} = g_i OR (p_i AND c_i) (g = limb overflow
+    bit, p = low-16-bits == MASK) is exactly the carry vector of the 32-bit
+    integer addition G + (G|P) on the bit-packed masks G = sum g_i 2^i,
+    P = sum p_i 2^i — recovered with the classic s ^ x ^ y trick. Packing the
+    per-limb bits into one lane turns the former log-depth Kogge-Stone
+    network (~65 traced ops) into ~15, which compounds through every field
+    multiply that inlines it. Requires L <= 31 (L is 16 or 24 here).
     """
     nl = t.shape[-1]
-    g = (t >> BASE_BITS).astype(bool)  # generate (0/1 by precondition)
-    p = (t & MASK) == MASK  # propagate
-    # exclusive prefix: carry INTO limb i from limbs < i
-    G = _shift_up(g, 1)
-    P = _shift_up(p, 1)
-    k = 1
-    while k < nl:
-        G = G | (P & _shift_up(G, k))
-        P = P & _shift_up(P, k)
-        k <<= 1
-    c = G.astype(jnp.uint32)
+    weights = jnp.asarray((1 << np.arange(nl)).astype(np.uint32))
+    g = (t >> BASE_BITS).astype(jnp.uint32)  # 0/1 by precondition
+    p = ((t & MASK) == MASK).astype(jnp.uint32)
+    G = jnp.sum(g * weights, axis=-1, dtype=jnp.uint32)
+    P = jnp.sum(p * weights, axis=-1, dtype=jnp.uint32)
+    GP = G | P
+    S = G + GP
+    c_bits = S ^ G ^ GP  # bit i = carry INTO limb i
+    c = (c_bits[..., None] >> jnp.arange(nl, dtype=jnp.uint32)) & 1
     full = t + c
     out = full & MASK
-    carry_out = full[..., -1] >> BASE_BITS
+    carry_out = (c_bits >> nl) & 1
     return out, carry_out
 
 

@@ -21,8 +21,10 @@ def fr_bytes(curve: PairingCurve, x: int) -> bytes:
     return (x % curve.fr.modulus).to_bytes(curve.fr.nbytes, "little")
 
 
-def point_bytes(curve: PairingCurve, pt: AffinePoint, group: str = "g1") -> bytes:
+def point_bytes(curve: PairingCurve, pt, group: str = "g1") -> bytes:
     """ark `to_bytes!` for an affine point: x || y || infinity-u8."""
+    if curve.name == "curve25519":
+        return pt.encode()  # 32-byte ristretto compression
     fq = curve.fq
     if group == "g1":
         x = (pt.x % fq.modulus).to_bytes(fq.nbytes, "little")

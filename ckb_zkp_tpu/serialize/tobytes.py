@@ -27,7 +27,10 @@ def fq_bytes(curve: PairingCurve, x: int) -> bytes:
     return (x % curve.fq.modulus).to_bytes(curve.fq.nbytes, "little")
 
 
-def point_bytes(curve: PairingCurve, pt: AffinePoint, group: str = "g1") -> bytes:
+def point_bytes(curve: PairingCurve, pt, group: str = "g1") -> bytes:
+    if curve.name == "curve25519":
+        # ristretto: 32-byte compressed encoding (curve25519/src/group.rs:293-338)
+        return pt.encode()
     if group == "g1":
         coords = fq_bytes(curve, pt.x) + fq_bytes(curve, pt.y)
     else:

@@ -40,3 +40,86 @@ def test_spartan_nizk_mini(curve):
     assert not nizk.verify_nizk_proof(
         curve, params, r1cs, [11], proof, r1cs_hash, params_hash
     )
+
+
+# ---- SNARK / SPARK (spark.rs, prover.rs:1062+, verify.rs:538+) ----
+
+from ckb_zkp_tpu.schemes.spartan import snark
+
+
+def test_spark_encode_memory_consistency(curve):
+    p = curve.fr.modulus
+    r1cs = nizk.generate_r1cs(curve, Mini.power_off())
+    rng = random.Random(7)
+    params = snark.generate_setup_snark_parameters(
+        curve, rng, r1cs.num_aux, r1cs.num_inputs, r1cs.num_constraints
+    )
+    enc, commit = snark.encode(params, r1cs, rng)
+    # init * write == read * audit for a random gamma (checked inside)
+    rows = [rng.randrange(p) for _ in range((commit.m).bit_length() - 1)]
+    cols = [rng.randrange(p) for _ in range((commit.m).bit_length() - 1)]
+    mem_row = eval_eq(rows, p)
+    mem_col = eval_eq(cols, p)
+    e_row = [[mem_row[a] for a in addrs] for addrs in enc.row_addr_ts.addr_index]
+    e_col = [[mem_col[a] for a in addrs] for addrs in enc.col_addr_ts.addr_index]
+    gamma = (rng.randrange(p), rng.randrange(p))
+    snark.circuit_eval_opt(enc, gamma, (e_row, e_col), (mem_row, mem_col), p)
+
+
+def test_spark_dotp_equals_mle(curve):
+    """e_row·e_col·val per matrix == the matrix MLE at (rx, ry)."""
+    p = curve.fr.modulus
+    r1cs = nizk.generate_r1cs(curve, Mini.power_off())
+    rng = random.Random(8)
+    params = snark.generate_setup_snark_parameters(
+        curve, rng, r1cs.num_aux, r1cs.num_inputs, r1cs.num_constraints
+    )
+    enc, commit = snark.encode(params, r1cs, rng)
+    num_x = r1cs.num_constraints.bit_length() - 1
+    t = max(r1cs.num_aux, r1cs.num_inputs)
+    t = 1 << (t - 1).bit_length()
+    num_y = t.bit_length()  # log2(2t)
+    rx = [rng.randrange(p) for _ in range(num_x)]
+    ry = [rng.randrange(p) for _ in range(num_y)]
+    rows, cols = snark.equalize_length(rx, ry)
+    mem_row = eval_eq(rows, p)
+    mem_col = eval_eq(cols, p)
+    for i, (mat, name) in enumerate(
+        [(r1cs.a_matrix, "a"), (r1cs.b_matrix, "b"), (r1cs.c_matrix, "c")]
+    ):
+        e_row = [mem_row[a] for a in enc.row_addr_ts.addr_index[i]]
+        e_col = [mem_col[a] for a in enc.col_addr_ts.addr_index[i]]
+        dotp = snark.evaluate_dot_product_circuit(e_row, e_col, enc.val_list[i], p)
+        assert dotp == evaluate_mle(mat, rx, ry, p), name
+
+
+def test_spartan_snark_mini(curve):
+    rng = random.Random(99)
+    setup = snark.generate_random_parameters(curve, Mini.power_off(), rng)
+    r1cs_hash = setup.r1cs.r1cs_to_hash()
+    params_hash = snark.snark_params_to_hash(curve, setup.params)
+    encode_hash = snark.encode_to_hash(curve, setup.encode_commit)
+    proof = snark.create_snark_proof(
+        curve, setup.params, setup.r1cs, Mini.power_on(2, 3, 10),
+        setup.encode, setup.encode_commit,
+        r1cs_hash, params_hash, encode_hash, rng,
+    )
+    assert snark.verify_snark_proof(
+        curve, setup.params, setup.r1cs, [10], proof, setup.encode_commit,
+        r1cs_hash, params_hash, encode_hash,
+    )
+    assert not snark.verify_snark_proof(
+        curve, setup.params, setup.r1cs, [11], proof, setup.encode_commit,
+        r1cs_hash, params_hash, encode_hash,
+    )
+    # tampered matrix eval claim must fail the dot-product split check
+    bad = snark.SNARKProof(
+        proof.r1cs_satisfied_proof,
+        ((proof.matrix_evals[0] + 1) % curve.fr.modulus,
+         proof.matrix_evals[1], proof.matrix_evals[2]),
+        proof.r1cs_evals_proof,
+    )
+    assert not snark.verify_snark_proof(
+        curve, setup.params, setup.r1cs, [10], bad, setup.encode_commit,
+        r1cs_hash, params_hash, encode_hash,
+    )
