@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import pickle
 import random
 import sys
 from pathlib import Path
@@ -16,6 +15,7 @@ from ..schemes.bulletproofs import arithmetic_circuit as bulletproofs
 from ..schemes.groth16 import serialize as g16ser
 from ..schemes.spartan import nizk as spartan_nizk
 from ..schemes.spartan import snark as spartan_snark
+from ..serialize import struct_codec
 from ..serialize.tobytes import fr_bytes
 
 SETUP_DIR = Path("setup_files")
@@ -62,7 +62,7 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
     if scheme == "spartan_snark":
         setup = spartan_snark.generate_random_parameters(curve, circuit, rng)
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
-        path.write_bytes(pickle.dumps(setup))
+        path.write_bytes(struct_codec.encode(curve, setup))
         print(f"wrote {path}")
         return (path,)
     if scheme == "spartan_nizk":
@@ -71,7 +71,7 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
             curve, rng, r1cs.num_aux, r1cs.num_inputs
         )
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
-        path.write_bytes(pickle.dumps((params, r1cs)))
+        path.write_bytes(struct_codec.encode(curve, (params, r1cs)))
         print(f"wrote {path}")
         return (path,)
     raise SystemExit(f"setup supports groth16|spartan_snark|spartan_nizk, not {scheme!r}")
@@ -93,9 +93,9 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
         proof_hex = g16ser.proof_to_bytes(curve, proof).hex()
     elif scheme == "bulletproofs":
         gens, r1cs, proof = bulletproofs.create_random_proof(curve, circuit, rng)
-        proof_hex = pickle.dumps((gens, r1cs, proof)).hex()
+        proof_hex = struct_codec.encode(curve, (gens, r1cs, proof)).hex()
     elif scheme == "spartan_snark":
-        setup = pickle.loads((SETUP_DIR / f"{name}.universal_setup").read_bytes())
+        setup = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes())
         hashes = (
             setup.r1cs.r1cs_to_hash(),
             spartan_snark.snark_params_to_hash(curve, setup.params),
@@ -105,16 +105,15 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
             curve, setup.params, setup.r1cs, circuit,
             setup.encode, setup.encode_commit, *hashes, rng,
         )
-        proof_hex = pickle.dumps((proof, hashes)).hex()
+        proof_hex = struct_codec.encode(curve, (proof, hashes)).hex()
     else:  # spartan_nizk
-        params, r1cs = pickle.loads(
-            (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+        params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
         )
         hashes = (r1cs.r1cs_to_hash(), spartan_nizk.params_to_hash(curve, params))
         proof = spartan_nizk.create_nizk_proof(
             curve, params, r1cs, circuit, *hashes, rng
         )
-        proof_hex = pickle.dumps((proof, hashes)).hex()
+        proof_hex = struct_codec.encode(curve, (proof, hashes)).hex()
     PROOF_DIR.mkdir(exist_ok=True)
     out = PROOF_DIR / f"{name}.proof.json"
     payload = {
@@ -148,20 +147,19 @@ def verify_cmd(proof_file: str) -> bool:
         pvk = groth16.prepare_verifying_key(curve, vk)
         ok = groth16.verify_proof(curve, pvk, proof, publics)
     elif scheme == "bulletproofs":
-        gens, r1cs, proof = pickle.loads(bytes.fromhex(payload["proof"]))
+        gens, r1cs, proof = struct_codec.decode(curve, bytes.fromhex(payload["proof"]))
         ok = bulletproofs.verify_proof(curve, gens, proof, r1cs, publics)
     elif scheme == "spartan_snark":
-        setup = pickle.loads((SETUP_DIR / f"{name}.universal_setup").read_bytes())
-        proof, hashes = pickle.loads(bytes.fromhex(payload["proof"]))
+        setup = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes())
+        proof, hashes = struct_codec.decode(curve, bytes.fromhex(payload["proof"]))
         ok = spartan_snark.verify_snark_proof(
             curve, setup.params, setup.r1cs, publics, proof,
             setup.encode_commit, *hashes,
         )
     else:  # spartan_nizk
-        params, r1cs = pickle.loads(
-            (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+        params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
         )
-        proof, hashes = pickle.loads(bytes.fromhex(payload["proof"]))
+        proof, hashes = struct_codec.decode(curve, bytes.fromhex(payload["proof"]))
         ok = spartan_nizk.verify_nizk_proof(
             curve, params, r1cs, publics, proof, *hashes
         )

@@ -90,18 +90,29 @@ def ks_resolve(t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     multiply that inlines it. Requires L <= 31 (L is 16 or 24 here).
     """
     nl = t.shape[-1]
-    weights = jnp.asarray((1 << np.arange(nl)).astype(np.uint32))
     g = (t >> BASE_BITS).astype(jnp.uint32)  # 0/1 by precondition
     p = ((t & MASK) == MASK).astype(jnp.uint32)
-    G = jnp.sum(g * weights, axis=-1, dtype=jnp.uint32)
-    P = jnp.sum(p * weights, axis=-1, dtype=jnp.uint32)
-    GP = G | P
-    S = G + GP
-    c_bits = S ^ G ^ GP  # bit i = carry INTO limb i
-    c = (c_bits[..., None] >> jnp.arange(nl, dtype=jnp.uint32)) & 1
+    # pack into 31-bit words (nl can exceed 31: 2L = 48 for 384-bit fields);
+    # words chain through a 1-bit carry, still O(words) flat ops.
+    c_chunks = []
+    cin = jnp.zeros(t.shape[:-1], jnp.uint32)
+    for lo in range(0, nl, 31):
+        hi = min(lo + 31, nl)
+        width = hi - lo
+        weights = jnp.asarray((1 << np.arange(width)).astype(np.uint32))
+        G = jnp.sum(g[..., lo:hi] * weights, axis=-1, dtype=jnp.uint32)
+        P = jnp.sum(p[..., lo:hi] * weights, axis=-1, dtype=jnp.uint32)
+        GP = G | P
+        S = G + GP + cin
+        c_bits = S ^ G ^ GP  # bit i = carry INTO limb lo+i (bit 0 = cin)
+        c_chunks.append(
+            (c_bits[..., None] >> jnp.arange(width, dtype=jnp.uint32)) & 1
+        )
+        cin = (c_bits >> width) & 1
+    c = jnp.concatenate(c_chunks, axis=-1)
     full = t + c
     out = full & MASK
-    carry_out = (c_bits >> nl) & 1
+    carry_out = cin
     return out, carry_out
 
 

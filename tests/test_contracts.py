@@ -36,3 +36,170 @@ def test_universal_groth16_verifier_cells():
     assert contracts.universal_groth16_verifier(
         "bn254", vk_cell, proof_cell, publics_cell[:-1]
     ) == contracts.ERR_ENCODING
+
+
+# ---- the remaining contract verifiers (struct-codec cells) ----
+
+from ckb_zkp_tpu.serialize import struct_codec
+
+
+def _enc(curve, v):
+    return struct_codec.encode(curve, v)
+
+
+def test_universal_marlin_verifier_cells():
+    from ckb_zkp_tpu.schemes.marlin import marlin
+
+    curve = get_curve("bn254")
+    rng = random.Random(123)
+    srs = marlin.universal_setup(curve, 128, rng)
+    ipk, ivk = marlin.index(srs, Mini.power_off())
+    proof = marlin.create_random_proof(ipk, Mini.power_on(2, 3, 10), rng)
+    vk_cell = _enc(curve, ivk)
+    proof_cell = _enc(curve, proof)
+    assert contracts.universal_marlin_verifier(
+        "bn254", vk_cell, proof_cell, _enc(curve, [10])
+    ) == contracts.OK
+    assert contracts.universal_marlin_verifier(
+        "bn254", vk_cell, proof_cell, _enc(curve, [11])
+    ) == contracts.ERR_VERIFY
+    assert contracts.universal_marlin_verifier(
+        "bn254", vk_cell, proof_cell[:-3], _enc(curve, [10])
+    ) == contracts.ERR_ENCODING
+
+
+def test_universal_plonk_verifier_cells():
+    from ckb_zkp_tpu.schemes.plonk.plonk import Plonk
+    from tests.test_plonk import default_ks, reference_circuit
+
+    curve = get_curve("bn254")
+    p = curve.fr.modulus
+    rng = random.Random(21)
+    cs = reference_circuit(p)
+    srs = Plonk.setup(curve, 64, rng)
+    pk, vk = Plonk.keygen(curve, srs, cs, default_ks(p))
+    proof = Plonk.prove(curve, pk, cs, rng)
+    vk_cell = _enc(curve, vk)
+    proof_cell = _enc(curve, proof)
+    publics = cs.public_inputs()
+    assert contracts.universal_plonk_verifier(
+        "bn254", vk_cell, proof_cell, _enc(curve, publics)
+    ) == contracts.OK
+    bad = [1] + publics[1:]
+    assert contracts.universal_plonk_verifier(
+        "bn254", vk_cell, proof_cell, _enc(curve, bad)
+    ) == contracts.ERR_VERIFY
+
+
+def test_universal_spartan_verifier_cells():
+    from ckb_zkp_tpu.schemes.spartan import nizk, snark
+
+    curve = get_curve("bn254")
+    rng = random.Random(55)
+    # nizk
+    r1cs = nizk.generate_r1cs(curve, Mini.power_off())
+    params = nizk.generate_setup_parameters(curve, rng, r1cs.num_aux, r1cs.num_inputs)
+    proof = nizk.create_nizk_proof(
+        curve, params, r1cs, Mini.power_on(2, 3, 10),
+        r1cs.r1cs_to_hash(), nizk.params_to_hash(curve, params), rng,
+    )
+    vk_cell = _enc(curve, (params, r1cs))
+    assert contracts.universal_spartan_nizk_verifier(
+        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [10])
+    ) == contracts.OK
+    assert contracts.universal_spartan_nizk_verifier(
+        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [11])
+    ) == contracts.ERR_VERIFY
+    # snark
+    setup = snark.generate_random_parameters(curve, Mini.power_off(), rng)
+    sproof = snark.create_snark_proof(
+        curve, setup.params, setup.r1cs, Mini.power_on(2, 3, 10),
+        setup.encode, setup.encode_commit,
+        setup.r1cs.r1cs_to_hash(),
+        snark.snark_params_to_hash(curve, setup.params),
+        snark.encode_to_hash(curve, setup.encode_commit), rng,
+    )
+    svk_cell = _enc(curve, (setup.params, setup.r1cs, setup.encode_commit))
+    assert contracts.universal_spartan_snark_verifier(
+        "bn254", svk_cell, _enc(curve, sproof), _enc(curve, [10])
+    ) == contracts.OK
+    assert contracts.universal_spartan_snark_verifier(
+        "bn254", svk_cell, _enc(curve, sproof), _enc(curve, [11])
+    ) == contracts.ERR_VERIFY
+
+
+def test_mini_bulletproofs_verifier_cells():
+    from ckb_zkp_tpu.schemes.bulletproofs import arithmetic_circuit as bp
+
+    curve = get_curve("bn254")
+    rng = random.Random(7)
+    gens, r1cs, proof = bp.create_random_proof(curve, Mini.power_on(2, 3, 10), rng)
+    vk_cell = _enc(curve, (gens, r1cs))
+    assert contracts.mini_bulletproofs_verifier(
+        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [10])
+    ) == contracts.OK
+    assert contracts.mini_bulletproofs_verifier(
+        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [11])
+    ) == contracts.ERR_VERIFY
+
+
+def test_mini_gkr_verifier_cells():
+    from ckb_zkp_tpu.schemes.hyrax.circuit import Circuit as HyCircuit
+    from ckb_zkp_tpu.schemes.hyrax.hyrax_proof import HyraxProof
+    from ckb_zkp_tpu.schemes.hyrax.params import Parameters as HyParams
+    from ckb_zkp_tpu.schemes.libra.circuit import Circuit as LiCircuit
+    from ckb_zkp_tpu.schemes.libra.zk_linear_gkr import (
+        Parameters as LiParams,
+        ZKLinearGKRProof,
+    )
+    from tests.test_libra import reference_circuit
+
+    curve = get_curve("bn254")
+    p = curve.fr.modulus
+    rng = random.Random(88)
+    # libra
+    inputs, witnesses, layers = reference_circuit()
+    spec = (len(inputs), len(witnesses), layers)
+    circuit = LiCircuit(*spec)
+    params = LiParams.new(curve, rng, 8)
+    chash = circuit.circuit_to_hash(curve)
+    phash = params.param_to_hash()
+    proof, output = ZKLinearGKRProof.prover(
+        params, circuit, inputs, witnesses, chash, phash, rng
+    )
+    vk_cell = _enc(curve, (params, spec))
+    assert contracts.mini_libra_zk_linear_gkr_verifier(
+        "bn254", vk_cell, _enc(curve, proof), _enc(curve, (output, inputs))
+    ) == contracts.OK
+    bad = [(output[0] + 1) % p] + list(output[1:])
+    assert contracts.mini_libra_zk_linear_gkr_verifier(
+        "bn254", vk_cell, _enc(curve, proof), _enc(curve, (bad, inputs))
+    ) == contracts.ERR_VERIFY
+    # hyrax
+    rng = random.Random(42)
+    n = 4
+    hw = [[rng.randrange(p) for _ in range(8)] for _ in range(n)]
+    hi = [[rng.randrange(p) for _ in range(8)] for _ in range(n)]
+    hlayers = [
+        [(1, 0, 1), (0, 2, 3), (0, 4, 5), (1, 6, 7),
+         (1, 15, 8), (1, 9, 10), (0, 11, 12), (0, 13, 14)],
+        [(1, 0, 1), (0, 2, 3), (0, 4, 5), (1, 6, 7)],
+        [(0, 0, 1), (0, 1, 2), (1, 2, 3), (1, 1, 3)],
+    ]
+    hspec = (8, 8, hlayers)
+    hcircuit = HyCircuit(*hspec)
+    hparams = HyParams.new(curve, rng, 8)
+    hproof, houtputs = HyraxProof.prover(
+        hparams, hw, hi, hcircuit,
+        hcircuit.circuit_to_hash(curve), hparams.param_to_hash(), n, rng,
+    )
+    hvk_cell = _enc(curve, (hparams, hspec))
+    assert contracts.mini_hyrax_zk_linear_gkr_verifier(
+        "bn254", hvk_cell, _enc(curve, hproof), _enc(curve, (houtputs, hi))
+    ) == contracts.OK
+    hbad = [[(houtputs[0][0] + 1) % p] + list(houtputs[0][1:])] + [
+        list(o) for o in houtputs[1:]
+    ]
+    assert contracts.mini_hyrax_zk_linear_gkr_verifier(
+        "bn254", hvk_cell, _enc(curve, hproof), _enc(curve, (hbad, hi))
+    ) == contracts.ERR_VERIFY
