@@ -214,12 +214,12 @@ class AbstractHashPoseidon:
         self.spec = spec
 
     def hash_enforce(self, cs: ConstraintSystem, params) -> AbstractHashPoseidonOutput:
-        data = b""
-        for o in params:
-            vals = o.get_variable_values()
-            if any(v is None for v in vals):
-                raise ValueError("assignment missing")
-            for v in vals:
-                data += int(v).to_bytes(self.spec.nbytes, "little")
+        vals = [v for o in params for v in o.get_variable_values()]
+        if any(v is None for v in vals):
+            data = None  # setup-mode synthesis: shape only
+        else:
+            data = b"".join(
+                int(v).to_bytes(self.spec.nbytes, "little") for v in vals
+            )
         r, _var = poseidon_gadget(cs, self.spec, data)
         return AbstractHashPoseidonOutput.alloc(cs, r)
