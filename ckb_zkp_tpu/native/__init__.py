@@ -1,0 +1,92 @@
+"""Native (C++) verifier bindings.
+
+The reference ships its verifiers as native no_std RISC-V contracts executed
+by CKB-VM; this package is the framework's native runtime counterpart:
+`native/groth16_bn254.cc` compiled on demand to a shared library and driven
+through ctypes (no pybind11 in this image). Same cell-data semantics and
+error codes as `ckb_zkp_tpu.contracts`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "groth16_bn254.cc"
+_CACHE_DIR = Path(
+    os.environ.get(
+        "CKB_ZKP_TPU_NATIVE_CACHE", os.path.expanduser("~/.cache/ckb_zkp_tpu_native")
+    )
+)
+
+_lib = None
+_lib_err: str | None = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> Path:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    out = _CACHE_DIR / f"groth16_bn254-{tag}.so"
+    if out.exists():
+        return out
+    tmp = out.with_suffix(".so.tmp")
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(tmp),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, out)
+    return out
+
+
+def _load():
+    global _lib, _lib_err
+    if _lib is not None:
+        return _lib
+    if _lib_err is not None:
+        raise NativeUnavailable(_lib_err)
+    try:
+        path = _build()
+        lib = ctypes.CDLL(str(path))
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+        _lib_err = f"native verifier unavailable: {e}"
+        raise NativeUnavailable(_lib_err) from e
+    lib.groth16_verify_bn254.restype = ctypes.c_int
+    lib.groth16_verify_bn254.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.groth16_bn254_selftest.restype = ctypes.c_int
+    lib.groth16_bn254_selftest.argtypes = []
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def selftest() -> int:
+    """0 on success; nonzero identifies the failing pairing property."""
+    return int(_load().groth16_bn254_selftest())
+
+
+def groth16_verify_bn254(vk: bytes, proof: bytes, publics: bytes) -> int:
+    """Cell-data verify: 0 = accept, 1 = encoding error, 2 = reject."""
+    lib = _load()
+    return int(
+        lib.groth16_verify_bn254(vk, len(vk), proof, len(proof), publics, len(publics))
+    )

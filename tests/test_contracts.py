@@ -203,3 +203,31 @@ def test_mini_gkr_verifier_cells():
     assert contracts.mini_hyrax_zk_linear_gkr_verifier(
         "bn254", hvk_cell, _enc(curve, hproof), _enc(curve, (hbad, hi))
     ) == contracts.ERR_VERIFY
+
+
+# ---- native C++ verifier (parity with the no_std RISC-V contract) ----
+
+
+def test_native_groth16_verifier():
+    from ckb_zkp_tpu import native
+
+    if not native.available():
+        pytest.skip("g++ unavailable")
+    assert native.selftest() == 0
+    curve = get_curve("bn254")
+    rng = random.Random(3)
+    params = groth16.generate_random_parameters(Mini.power_off(), curve, rng)
+    proof = groth16.create_random_proof(params, Mini.power_on(2, 3, 10), rng)
+    vk_cell = g16ser.vk_to_bytes(curve, params.vk)
+    proof_cell = g16ser.proof_to_bytes(curve, proof)
+    assert native.groth16_verify_bn254(vk_cell, proof_cell, fr_bytes(curve, 10)) == 0
+    assert native.groth16_verify_bn254(vk_cell, proof_cell, fr_bytes(curve, 11)) == 2
+    assert native.groth16_verify_bn254(vk_cell, proof_cell[:-4], fr_bytes(curve, 10)) == 1
+    assert native.groth16_verify_bn254(vk_cell[:-9], proof_cell, fr_bytes(curve, 10)) == 1
+    # publics length mismatch / out-of-range scalar
+    assert native.groth16_verify_bn254(vk_cell, proof_cell, b"") == 1
+    assert native.groth16_verify_bn254(vk_cell, proof_cell, b"\xff" * 32) == 1
+    # agreement with the python portable verifier on the same cells
+    assert contracts.universal_groth16_verifier(
+        "bn254", vk_cell, proof_cell, fr_bytes(curve, 10)
+    ) == native.groth16_verify_bn254(vk_cell, proof_cell, fr_bytes(curve, 10))
