@@ -379,6 +379,13 @@ def _poly_eval(coeffs: list[int], x: int, p: int) -> int:
 
 def sum_check_phase_one(curve, num_rounds, sc, claim, pa, pb, pc_, peq, rng, transcript):
     p = curve.fr.modulus
+    # large tables run the halving recurrence on device; only the 3 round
+    # scalars cross to the host (ops/sumcheck.py, SURVEY hard part #4)
+    from ...ops.sumcheck import DEVICE_SUMCHECK_MIN, DeviceSumcheck
+
+    dsc = DeviceSumcheck(curve.fr) if len(peq) >= DEVICE_SUMCHECK_MIN else None
+    if dsc is not None:
+        pa, pb, pc_, peq = (dsc.encode_table(v) for v in (pa, pb, pc_, peq))
     blinds_poly = [rng.randrange(p) for _ in range(num_rounds)]
     blinds_evals = [rng.randrange(p) for _ in range(num_rounds)]
     commit_eval = poly_commit_vec(curve, sc.gen_1.generators, [claim], sc.gen_1.h, 0)
@@ -387,13 +394,16 @@ def sum_check_phase_one(curve, num_rounds, sc, claim, pa, pb, pc_, peq, rng, tra
     rx, comm_polys, comm_evals, proofs = [], [], [], []
     blind_poly_eval = 0
     for i in range(num_rounds):
-        size = len(peq) // 2
-        eval_0 = sum(peq[j] * ((pa[j] * pb[j] - pc_[j]) % p) % p for j in range(size)) % p
+        if dsc is not None:
+            eval_0, eval_2, eval_3 = dsc.cubic_round(pa, pb, pc_, peq)
+        else:
+            size = len(peq) // 2
+            eval_0 = sum(peq[j] * ((pa[j] * pb[j] - pc_[j]) % p) % p for j in range(size)) % p
+            pa2, pb2, pc2, peq2 = (combine_with_n(v, 2, p) for v in (pa, pb, pc_, peq))
+            eval_2 = sum(peq2[j] * ((pa2[j] * pb2[j] - pc2[j]) % p) % p for j in range(size)) % p
+            pa3, pb3, pc3, peq3 = (combine_with_n(v, 3, p) for v in (pa, pb, pc_, peq))
+            eval_3 = sum(peq3[j] * ((pa3[j] * pb3[j] - pc3[j]) % p) % p for j in range(size)) % p
         eval_1 = (claim - eval_0) % p
-        pa2, pb2, pc2, peq2 = (combine_with_n(v, 2, p) for v in (pa, pb, pc_, peq))
-        eval_2 = sum(peq2[j] * ((pa2[j] * pb2[j] - pc2[j]) % p) % p for j in range(size)) % p
-        pa3, pb3, pc3, peq3 = (combine_with_n(v, 3, p) for v in (pa, pb, pc_, peq))
-        eval_3 = sum(peq3[j] * ((pa3[j] * pb3[j] - pc3[j]) % p) % p for j in range(size)) % p
         a_c = (-eval_0 + 3 * eval_1 - 3 * eval_2 + eval_3) * six_inv % p
         b_c = (2 * eval_0 - 5 * eval_1 + 4 * eval_2 - eval_3) * two_inv % p
         c_c = (eval_1 - eval_0 - a_c - b_c) % p
@@ -404,7 +414,10 @@ def sum_check_phase_one(curve, num_rounds, sc, claim, pa, pb, pc_, peq, rng, tra
         )
         transcript.append_message(b"comm_poly", point_bytes(curve, commit_poly))
         r_i = challenge_fr(curve, transcript, b"challenge_nextround")
-        pa, pb, pc_, peq = (combine_with_r(v, r_i, p) for v in (pa, pb, pc_, peq))
+        if dsc is not None:
+            pa, pb, pc_, peq = (dsc.bind(v, r_i) for v in (pa, pb, pc_, peq))
+        else:
+            pa, pb, pc_, peq = (combine_with_r(v, r_i, p) for v in (pa, pb, pc_, peq))
         transcript.append_message(b"comm_claim_per_round", point_bytes(curve, commit_eval))
         eval_ri = _poly_eval(poly, r_i, p)
         commit_eval = poly_commit_vec(
@@ -422,12 +435,21 @@ def sum_check_phase_one(curve, num_rounds, sc, claim, pa, pb, pc_, peq, rng, tra
         proofs.append(prf)
         blind_poly_eval = blinds_evals[i]
         claim = eval_ri
-    values = (pa[0], pb[0], pc_[0], peq[0])
+    if dsc is not None:
+        values = tuple(dsc.first(v) for v in (pa, pb, pc_, peq))
+    else:
+        values = (pa[0], pb[0], pc_[0], peq[0])
     return SumCheckProof(comm_polys, comm_evals, proofs), rx, values, blind_poly_eval
 
 
 def sum_check_phase_two(curve, num_rounds, sc, claim, blind_claim0, pabc, pz, rng, transcript):
     p = curve.fr.modulus
+    from ...ops.sumcheck import DEVICE_SUMCHECK_MIN, DeviceSumcheck
+
+    dsc = DeviceSumcheck(curve.fr) if len(pz) >= DEVICE_SUMCHECK_MIN else None
+    if dsc is not None:
+        pabc = dsc.encode_table(pabc)
+        pz = dsc.encode_table(pz)
     blinds_poly = [rng.randrange(p) for _ in range(num_rounds)]
     blinds_evals = [rng.randrange(p) for _ in range(num_rounds)]
     commit_claim = poly_commit_vec(
@@ -437,12 +459,15 @@ def sum_check_phase_two(curve, num_rounds, sc, claim, blind_claim0, pabc, pz, rn
     ry, comm_polys, comm_evals, proofs = [], [], [], []
     blind_poly_eval = 0
     for i in range(num_rounds):
-        size = len(pz) // 2
-        eval_0 = sum(pz[j] * pabc[j] % p for j in range(size)) % p
+        if dsc is not None:
+            eval_0, eval_2 = dsc.quad_round(pabc, pz)
+        else:
+            size = len(pz) // 2
+            eval_0 = sum(pz[j] * pabc[j] % p for j in range(size)) % p
+            pabc2 = combine_with_n(pabc, 2, p)
+            pz2 = combine_with_n(pz, 2, p)
+            eval_2 = sum(pabc2[j] * pz2[j] % p for j in range(size)) % p
         eval_1 = (claim - eval_0) % p
-        pabc2 = combine_with_n(pabc, 2, p)
-        pz2 = combine_with_n(pz, 2, p)
-        eval_2 = sum(pabc2[j] * pz2[j] % p for j in range(size)) % p
         a_c = (eval_0 - 2 * eval_1 + eval_2) * two_inv % p
         c_c = eval_0 % p
         b_c = (eval_1 - a_c - c_c) % p
@@ -458,8 +483,12 @@ def sum_check_phase_two(curve, num_rounds, sc, claim, blind_claim0, pabc, pz, rn
         )
         transcript.append_message(b"comm_claim_per_round", point_bytes(curve, commit_claim))
         transcript.append_message(b"comm_eval", point_bytes(curve, commit_eval))
-        pabc = combine_with_r(pabc, r_j, p)
-        pz = combine_with_r(pz, r_j, p)
+        if dsc is not None:
+            pabc = dsc.bind(pabc, r_j)
+            pz = dsc.bind(pz, r_j)
+        else:
+            pabc = combine_with_r(pabc, r_j, p)
+            pz = combine_with_r(pz, r_j, p)
         blind_claim = blinds_evals[i - 1] if i > 0 else blind_claim0
         prf = sum_check_eval_prover(
             curve, sc.gen_1, sc.gen_3, poly, commit_poly, blinds_poly[i],
@@ -472,7 +501,11 @@ def sum_check_phase_two(curve, num_rounds, sc, claim, blind_claim0, pabc, pz, rn
         blind_poly_eval = blinds_evals[i]
         claim = eval_rj
         commit_claim = commit_eval
-    return SumCheckProof(comm_polys, comm_evals, proofs), ry, (pabc[0], pz[0]), blind_poly_eval
+    if dsc is not None:
+        finals = (dsc.first(pabc), dsc.first(pz))
+    else:
+        finals = (pabc[0], pz[0])
+    return SumCheckProof(comm_polys, comm_evals, proofs), ry, finals, blind_poly_eval
 
 
 def sum_check_eval_prover(

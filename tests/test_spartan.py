@@ -123,3 +123,49 @@ def test_spartan_snark_mini(curve):
         curve, setup.params, setup.r1cs, [10], bad, setup.encode_commit,
         r1cs_hash, params_hash, encode_hash,
     )
+
+
+# ---- device-resident sumcheck tables (ops/sumcheck.py) ----
+
+
+def test_device_sumcheck_matches_host(curve):
+    from ckb_zkp_tpu.ops import sumcheck as dsum
+    from ckb_zkp_tpu.schemes.spartan.polynomial import combine_with_n, combine_with_r
+
+    p = curve.fr.modulus
+    rng = random.Random(17)
+    n = 16
+    pa, pb, pc, peq = ([rng.randrange(p) for _ in range(n)] for _ in range(4))
+    d = dsum.DeviceSumcheck(curve.fr)
+    da, db, dc, de = (d.encode_table(v) for v in (pa, pb, pc, peq))
+    e0, e2, e3 = d.cubic_round(da, db, dc, de)
+    size = n // 2
+
+    def host_eval(a, b, c, e):
+        return sum(e[j] * ((a[j] * b[j] - c[j]) % p) % p for j in range(size)) % p
+
+    assert e0 == host_eval(pa, pb, pc, peq)
+    k2 = [combine_with_n(v, 2, p) for v in (pa, pb, pc, peq)]
+    assert e2 == host_eval(*k2)
+    k3 = [combine_with_n(v, 3, p) for v in (pa, pb, pc, peq)]
+    assert e3 == host_eval(*k3)
+    r = rng.randrange(p)
+    bound = d.bind(da, r)
+    assert curve.fr.modulus and d.fr.decode(bound) == combine_with_r(pa, r, p)
+    q0, q2 = d.quad_round(da, db)
+    assert q0 == sum(pa[j] * pb[j] % p for j in range(size)) % p
+
+
+def test_spartan_nizk_device_sumcheck_path(curve, monkeypatch):
+    """Force the device threshold down so the proof runs the device tables."""
+    from ckb_zkp_tpu.ops import sumcheck as dsum
+
+    monkeypatch.setattr(dsum, "DEVICE_SUMCHECK_MIN", 2)
+    rng = random.Random(55)
+    r1cs = nizk.generate_r1cs(curve, Mini.power_off())
+    params = nizk.generate_setup_parameters(curve, rng, r1cs.num_aux, r1cs.num_inputs)
+    h1, h2 = r1cs.r1cs_to_hash(), nizk.params_to_hash(curve, params)
+    proof = nizk.create_nizk_proof(
+        curve, params, r1cs, Mini.power_on(2, 3, 10), h1, h2, rng
+    )
+    assert nizk.verify_nizk_proof(curve, params, r1cs, [10], proof, h1, h2)
