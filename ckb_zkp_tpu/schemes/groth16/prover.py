@@ -39,8 +39,16 @@ def create_proof(
 
 
 def create_proof_from_shape(
-    params: Parameters, shape: R1csShape, r: int, s: int, qap: QapMatrices | None = None
+    params: Parameters,
+    shape: R1csShape,
+    r: int,
+    s: int,
+    qap: QapMatrices | None = None,
+    mesh=None,
 ) -> Proof:
+    """With `mesh` set, the 4-5 Pippenger MSMs (the dominant prover cost)
+    shard points per chip and fold partials across the mesh
+    (parallel/msm.py); the witness map stays single-device."""
     curve = params.curve
     p = curve.fr.modulus
     fr = device_field(curve.fr)
@@ -57,11 +65,20 @@ def create_proof_from_shape(
     z_can = fr.from_mont(z_mont)
     ni = shape.num_inputs
 
-    ga_acc = dg1.decode_point(dg1.msm(params.a_query, z_can))
-    gb2_acc = dg2.decode_point(dg2.msm(params.b_g2_query, z_can))
-    gb1_acc = dg1.decode_point(dg1.msm(params.b_g1_query, z_can))
-    h_acc = dg1.decode_point(dg1.msm(params.h_query, fr.from_mont(h)))
-    l_acc = dg1.decode_point(dg1.msm(params.l_query, z_can[ni:]))
+    if mesh is not None:
+        from ...parallel.msm import msm_sharded
+
+        msm1 = lambda pts, scl: dg1.decode_point(msm_sharded(dg1, pts, scl, mesh))  # noqa: E731
+        msm2 = lambda pts, scl: dg2.decode_point(msm_sharded(dg2, pts, scl, mesh))  # noqa: E731
+    else:
+        msm1 = lambda pts, scl: dg1.decode_point(dg1.msm(pts, scl))  # noqa: E731
+        msm2 = lambda pts, scl: dg2.decode_point(dg2.msm(pts, scl))  # noqa: E731
+
+    ga_acc = msm1(params.a_query, z_can)
+    gb2_acc = msm2(params.b_g2_query, z_can)
+    gb1_acc = msm1(params.b_g1_query, z_can)
+    h_acc = msm1(params.h_query, fr.from_mont(h))
+    l_acc = msm1(params.l_query, z_can[ni:])
 
     g1, g2 = curve.g1, curve.g2
     # A = alpha + sum z_i u_i(t) + r*delta

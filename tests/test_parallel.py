@@ -73,3 +73,27 @@ def test_sharded_msm_matches_host(mesh):
     s = dg.encode_scalars(scalars)
     got = dg.decode_point(msm_sharded(dg, P, s, mesh))
     assert got == host.msm(pts, scalars)
+
+
+def test_groth16_prover_sharded_msm():
+    """Full groth16 proof with the MSMs sharded over the 8-device mesh."""
+    import random
+
+    from ckb_zkp_tpu.circuits import Mini
+    from ckb_zkp_tpu.host.pairing import get_curve
+    from ckb_zkp_tpu.parallel import make_mesh
+    from ckb_zkp_tpu.r1cs import SynthesisMode, synthesize
+    from ckb_zkp_tpu.schemes import groth16
+    from ckb_zkp_tpu.schemes.groth16.prover import create_proof_from_shape
+
+    curve = get_curve("bn254")
+    rng = random.Random(42)
+    params = groth16.generate_random_parameters(Mini.power_off(), curve, rng)
+    shape = synthesize(Mini.power_on(2, 3, 10), curve.fr.modulus, SynthesisMode.PROVE)
+    mesh = make_mesh(8)
+    proof = create_proof_from_shape(params, shape, 3, 7, mesh=mesh)
+    pvk = groth16.prepare_verifying_key(curve, params.vk)
+    assert groth16.verify_proof(curve, pvk, proof, [10])
+    # must equal the single-device proof with identical randomness
+    single = create_proof_from_shape(params, shape, 3, 7)
+    assert proof.a == single.a and proof.b == single.b and proof.c == single.c
