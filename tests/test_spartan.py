@@ -169,3 +169,17 @@ def test_spartan_nizk_device_sumcheck_path(curve, monkeypatch):
         curve, params, r1cs, Mini.power_on(2, 3, 10), h1, h2, rng
     )
     assert nizk.verify_nizk_proof(curve, params, r1cs, [10], proof, h1, h2)
+
+
+def test_poly_commit_vec_device_path_matches_host(curve, monkeypatch):
+    from ckb_zkp_tpu.schemes.spartan import common
+
+    rng = random.Random(4)
+    p = curve.fr.modulus
+    gens = [curve.g1.mul(curve.g1_gen, rng.randrange(1, p)) for _ in range(16)]
+    h = curve.g1.mul(curve.g1_gen, 777)
+    values = [rng.randrange(p) for _ in range(16)]
+    host_commit = common.poly_commit_vec(curve, gens, values, h, 9)
+    monkeypatch.setattr(common, "DEVICE_COMMIT_MIN", 2)
+    dev_commit = common.poly_commit_vec(curve, gens, values, h, 9)
+    assert host_commit == dev_commit
