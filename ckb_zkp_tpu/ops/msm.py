@@ -354,3 +354,31 @@ def device_group(
         # window doubles but stays N-dominated for large MSMs
         window_bits = 8
     return _device_group_by_name(curve.name, group, window_bits)
+
+
+# ---- fixed-base-list MSM with cached device encodings ----
+# Pedersen-style commitments repeatedly MSM over the SAME generator list
+# (spartan/hyrax/libra packing commits, bulletproofs A_I/A_O/S). Encoding
+# the generators once per list makes the device Pippenger a drop-in for the
+# host path above a size threshold.
+FIXED_BASE_MSM_MIN = 1 << 10
+_fixed_base_cache: dict[int, tuple[object, object]] = {}
+
+
+def msm_over_fixed_base(curve, base_points: list, scalars: list[int]) -> AffinePoint:
+    """MSM of scalars over a prefix of a long-lived generator list."""
+    host = curve.g1
+    if (
+        len(scalars) < FIXED_BASE_MSM_MIN
+        or getattr(curve, "name", "") == "curve25519"
+    ):
+        return host.msm(base_points[: len(scalars)], scalars)
+    dg = device_group(curve, "g1")
+    key = id(base_points)
+    ent = _fixed_base_cache.get(key)
+    if ent is None or ent[0] is not base_points:
+        enc = dg.encode_points(base_points)
+        _fixed_base_cache[key] = (base_points, enc)
+        ent = _fixed_base_cache[key]
+    P = jax.tree.map(lambda c: c[: len(scalars)], ent[1])
+    return dg.decode_point(dg.msm(P, dg.encode_scalars(scalars)))

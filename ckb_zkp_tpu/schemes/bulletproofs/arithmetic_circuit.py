@@ -149,13 +149,17 @@ def prove(curve, gens, r1cs, aL, aR, aO, s_pub, w, rng):
     sR = [rng.randrange(p) for _ in range(max(n, n_w))]
     aIB, aOB, sB, gamma = (rng.randrange(p) for _ in range(4))
 
-    A_I = g1.add(g1.mul(gens.h, aIB), g1.add(g1.msm(g_vec, aL), g1.msm(h_vec, aR)))
-    A_O = g1.add(g1.mul(gens.h, aOB), g1.msm(g_vec, aO))
-    A_W = g1.add(g1.mul(gens.h, gamma), g1.msm(g_vec_w, w))
-    n_max = max(n, n_w)
+    from ...ops.msm import msm_over_fixed_base as _msm_fb
+
+    A_I = g1.add(
+        g1.mul(gens.h, aIB),
+        g1.add(_msm_fb(curve, gens.g_vec_N, aL), _msm_fb(curve, gens.h_vec_N, aR)),
+    )
+    A_O = g1.add(g1.mul(gens.h, aOB), _msm_fb(curve, gens.g_vec_N, aO))
+    A_W = g1.add(g1.mul(gens.h, gamma), _msm_fb(curve, gens.g_vec_N, w))
     S = g1.add(
         g1.mul(gens.h, sB),
-        g1.add(g1.msm(gens.g_vec_N[:n_max], sL), g1.msm(gens.h_vec_N[:n_max], sR)),
+        g1.add(_msm_fb(curve, gens.g_vec_N, sL), _msm_fb(curve, gens.h_vec_N, sR)),
     )
     for lbl, pt in ((b"A_I", A_I), (b"A_O", A_O), (b"A_W", A_W), (b"S", S)):
         transcript.append_message(lbl, point_bytes(curve, pt))

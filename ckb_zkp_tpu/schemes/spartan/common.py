@@ -88,37 +88,13 @@ def r1cs_satisfied_parameters(curve, rng, num_aux, num_inputs) -> R1CSSatisfiedP
     return R1CSSatisfiedParameters(pc, sc, n)
 
 
-# Pedersen commitments over a FIXED generator list dominate the DL-schemes'
-# prover cost at scale; large batches route through the device Pippenger with
-# the encoded generators cached per list (the lists live as long as the
-# params object, so an id-keyed cache is safe enough and O(params) entries).
-DEVICE_COMMIT_MIN = 1 << 10
-_gen_cache: dict[int, tuple[object, object]] = {}
-
-
-def _device_gens(curve, generators):
-    from ...ops.msm import device_group
-
-    dg = device_group(curve, "g1")
-    key = id(generators)
-    ent = _gen_cache.get(key)
-    if ent is None or ent[0] is not generators:
-        enc = dg.encode_points(generators)
-        _gen_cache[key] = (generators, enc)
-        ent = _gen_cache[key]
-    return dg, ent[1]
-
-
 def poly_commit_vec(curve, generators, values, h, blind) -> AffinePoint:
-    g1 = curve.g1
-    if len(values) >= DEVICE_COMMIT_MIN and getattr(curve, "name", "") != "curve25519":
-        import jax
+    """Pedersen commit; large batches run the device Pippenger over the
+    cached encoded generator list (ops/msm.msm_over_fixed_base)."""
+    from ...ops.msm import msm_over_fixed_base
 
-        dg, enc = _device_gens(curve, generators)
-        P = jax.tree.map(lambda c: c[: len(values)], enc)
-        acc = dg.decode_point(dg.msm(P, dg.encode_scalars(values)))
-        return g1.add(acc, g1.mul(h, blind))
-    return g1.add(g1.msm(generators[: len(values)], values), g1.mul(h, blind))
+    g1 = curve.g1
+    return g1.add(msm_over_fixed_base(curve, generators, values), g1.mul(h, blind))
 
 
 def packing_poly_commit(curve, generators, values, h, rng, is_blind):
