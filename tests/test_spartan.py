@@ -180,6 +180,8 @@ def test_poly_commit_vec_device_path_matches_host(curve, monkeypatch):
     h = curve.g1.mul(curve.g1_gen, 777)
     values = [rng.randrange(p) for _ in range(16)]
     host_commit = common.poly_commit_vec(curve, gens, values, h, 9)
-    monkeypatch.setattr(common, "DEVICE_COMMIT_MIN", 2)
+    from ckb_zkp_tpu.ops import msm as msm_mod
+
+    monkeypatch.setattr(msm_mod, "FIXED_BASE_MSM_MIN", 2)
     dev_commit = common.poly_commit_vec(curve, gens, values, h, 9)
     assert host_commit == dev_commit
