@@ -39,7 +39,13 @@ from .ec import (
     point_select,
     to_affine,
 )
-from .scan_utils import blocked_reduce, blocked_scan, segment_sum_sorted
+from .scan_utils import (
+    blocked_reduce,
+    blocked_scan,
+    hs_scan,
+    hs_segment_sum_sorted,
+    segment_sum_sorted,
+)
 
 
 
@@ -205,19 +211,26 @@ class DeviceCurveGroup:
         return (limb >> (bitpos % BASE_BITS)) & (self.nb - 1)
 
     def _window_sum(self, P, digits):
-        """Sum of b * (sum of points with digit b) for one c-bit window."""
+        """Sum of b * (sum of points with digit b) for one c-bit window.
+
+        Latency-shaped: Hillis–Steele segmented scan for the buckets
+        (log2 N full-width EC adds) and HS suffix scans for the bucket
+        weighting — ~2 log2 N sequential steps per window total, versus
+        ~block*levels for the blocked formulation.
+        """
         cf = self.cf
         order = jnp.argsort(digits)
         d = digits[order].astype(jnp.int32)
         Ps = tuple(c[order] for c in P)
         inf = point_infinity(cf)
         add = lambda a, b: ec_add(cf, a, b)
-        buckets = segment_sum_sorted(add, Ps, d, self.nb, inf)
+        buckets = hs_segment_sum_sorted(add, Ps, d, self.nb, inf)
         # suffix sums over buckets 1..nb-1: run[j] = sum_{b >= j} B_b
         tail = tuple(b[1:] for b in buckets)
-        run = blocked_scan(add, tail, inf, reverse=True)
-        # S = sum_j run[j]
-        return blocked_reduce(add, run, inf)
+        run = hs_scan(add, tail, reverse=True)
+        # S = sum_j run[j] = reverse-scan of run at position 0
+        total = hs_scan(add, run, reverse=True)
+        return jax.tree.map(lambda c: c[0], total)
 
     def _msm_impl(self, P, scalars):
         """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical.

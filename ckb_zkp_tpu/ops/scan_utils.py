@@ -139,3 +139,66 @@ def blocked_scan(combine, elems, identity, block: int = 64, reverse: bool = Fals
     full = combine(excl_b, within_gb)  # broadcast over block axis
     flat = jax.tree.map(lambda x: x.reshape(g * block, *x.shape[2:]), full)
     return jax.tree.map(lambda x: x[:n], flat)
+
+
+def _mask_tree(mask, tree_a, tree_b):
+    """where(mask, a, b) broadcasting the 1-D mask over trailing dims."""
+    return jax.tree.map(
+        lambda a, b: jnp.where(
+            mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim)), a, b
+        ),
+        tree_a,
+        tree_b,
+    )
+
+
+def hs_scan(combine, elems, reverse: bool = False):
+    """Inclusive associative scan via Hillis–Steele distance doubling.
+
+    log2(N) full-width combiner applications under ONE traced fori_loop body
+    — the latency-optimal shape for expensive combiners (EC adds): the
+    blocked_scan alternative runs ~block*levels narrow sequential steps,
+    this runs ceil(log2 N) wide ones.
+    """
+    n = _leading(elems)
+    if n == 1:
+        return elems
+    logn = (n - 1).bit_length()
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(k, v):
+        d = jnp.int32(1) << k
+        if reverse:
+            prev = jax.tree.map(lambda x: jnp.roll(x, -d, axis=0), v)
+            ok = idx < n - d
+        else:
+            prev = jax.tree.map(lambda x: jnp.roll(x, d, axis=0), v)
+            ok = idx >= d
+        return _mask_tree(ok, combine(prev, v), v)
+
+    return jax.lax.fori_loop(0, logn, body, elems)
+
+
+def hs_segment_sum_sorted(combine, values, seg_ids, num_segments: int, identity):
+    """segment_sum_sorted with a Hillis–Steele segmented inclusive scan:
+    log2(N) full-width masked combines, then segment tails scattered out."""
+    n = _leading(values)
+    logn = (n - 1).bit_length() if n > 1 else 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg = seg_ids.astype(jnp.int32)
+
+    def body(k, v):
+        d = jnp.int32(1) << k
+        prev = jax.tree.map(lambda x: jnp.roll(x, d, axis=0), v)
+        ok = (idx >= d) & (jnp.roll(seg, d) == seg)
+        return _mask_tree(ok, combine(prev, v), v)
+
+    scanned = jax.lax.fori_loop(0, logn, body, values)
+    ends = jnp.concatenate([seg[1:] != seg[:-1], jnp.ones((1,), bool)])
+    target = jnp.where(ends, seg, num_segments).astype(jnp.int32)
+    out = jax.tree.map(
+        lambda i: jnp.broadcast_to(i, (num_segments, *i.shape)), identity
+    )
+    return jax.tree.map(
+        lambda o, s: o.at[target].set(s, mode="drop"), out, scanned
+    )
