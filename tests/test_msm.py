@@ -103,3 +103,27 @@ def test_fixed_base_msm(curve):
     scalars = [0, 1, 2, RNG.randrange(curve.fr.modulus), curve.fr.modulus - 1]
     got = dg.decode_points(dg.fixed_base_msm(table, dg.encode_scalars(scalars)))
     assert got == [host.mul(curve.g1_gen, s) for s in scalars]
+
+
+def test_hs_scan_and_segment_sum():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ckb_zkp_tpu.ops.scan_utils import hs_scan, hs_segment_sum_sorted
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 1000, size=(37, 2)), dtype=jnp.int32)
+    fwd = hs_scan(lambda a, b: a + b, x)
+    assert np.array_equal(np.asarray(fwd), np.cumsum(np.asarray(x), axis=0))
+    rev = hs_scan(lambda a, b: a + b, x, reverse=True)
+    assert np.array_equal(
+        np.asarray(rev), np.cumsum(np.asarray(x)[::-1], axis=0)[::-1]
+    )
+    # segmented: sorted ids with gaps and an out-of-range sentinel
+    ids = jnp.asarray(np.sort(rng.integers(0, 6, size=24)), dtype=jnp.int32)
+    vals = jnp.asarray(rng.integers(0, 100, size=(24,)), dtype=jnp.int32)
+    out = hs_segment_sum_sorted(lambda a, b: a + b, vals, ids, 6, jnp.int32(0))
+    want = np.zeros(6, dtype=np.int64)
+    for i, s in zip(np.asarray(ids), np.asarray(vals)):
+        want[i] += s
+    assert np.array_equal(np.asarray(out), want)
