@@ -56,9 +56,13 @@ def create_proof_from_shape(
         qap = QapMatrices(shape, curve.fr)
     assert qap.m == params.domain_size, "circuit does not match parameters"
 
+    from ...utils import stage
+
     z = shape.full_assignment()
-    z_mont = fr.encode(z)
-    h = qap.witness_map(z_mont)  # (m-1, L) mont
+    with stage("groth16/encode_witness"):
+        z_mont = fr.encode(z)
+    with stage("groth16/qap_witness_map", sync=None):
+        h = qap.witness_map(z_mont)  # (m-1, L) mont
 
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
@@ -74,11 +78,16 @@ def create_proof_from_shape(
         msm1 = lambda pts, scl: dg1.decode_point(dg1.msm(pts, scl))  # noqa: E731
         msm2 = lambda pts, scl: dg2.decode_point(dg2.msm(pts, scl))  # noqa: E731
 
-    ga_acc = msm1(params.a_query, z_can)
-    gb2_acc = msm2(params.b_g2_query, z_can)
-    gb1_acc = msm1(params.b_g1_query, z_can)
-    h_acc = msm1(params.h_query, fr.from_mont(h))
-    l_acc = msm1(params.l_query, z_can[ni:])
+    with stage("groth16/msm_a"):
+        ga_acc = msm1(params.a_query, z_can)
+    with stage("groth16/msm_b_g2"):
+        gb2_acc = msm2(params.b_g2_query, z_can)
+    with stage("groth16/msm_b_g1"):
+        gb1_acc = msm1(params.b_g1_query, z_can)
+    with stage("groth16/msm_h"):
+        h_acc = msm1(params.h_query, fr.from_mont(h))
+    with stage("groth16/msm_l"):
+        l_acc = msm1(params.l_query, z_can[ni:])
 
     g1, g2 = curve.g1, curve.g2
     # A = alpha + sum z_i u_i(t) + r*delta
