@@ -167,8 +167,31 @@ def verify_cmd(proof_file: str) -> bool:
     return ok
 
 
+def _apply_device(device: str) -> None:
+    """Pin the JAX platform for this CLI run (auto = leave default)."""
+    if device == "auto":
+        return
+    import os
+
+    os.environ["JAX_PLATFORMS"] = device
+    import jax
+
+    jax.config.update("jax_platforms", device)
+    from .. import _set_xla_cache_dir
+
+    _set_xla_cache_dir(device)
+
+
 def main(argv=None) -> int:
+    import os
+
     ap = argparse.ArgumentParser(prog="ckb-zkp-tpu")
+    ap.add_argument(
+        "--device",
+        choices=("auto", "cpu", "tpu"),
+        default=os.environ.get("CKB_ZKP_TPU_DEVICE", "auto"),
+        help="JAX platform to run on (default: auto / $CKB_ZKP_TPU_DEVICE)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
     s = sub.add_parser("setup")
     s.add_argument("scheme")
@@ -184,6 +207,7 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify")
     v.add_argument("proof_file")
     ns = ap.parse_args(argv)
+    _apply_device(ns.device)
     if ns.cmd == "setup":
         setup_cmd(ns.scheme, ns.curve, ns.circuit, ns.seed)
     elif ns.cmd == "prove":

@@ -35,6 +35,7 @@ from .ec import (
     DeviceFq2,
     ec_add,
     ec_double,
+    ec_neg,
     point_infinity,
     point_select,
     to_affine,
@@ -43,8 +44,7 @@ from .scan_utils import (
     blocked_reduce,
     blocked_scan,
     hs_scan,
-    hs_segment_sum_sorted,
-    segment_sum_sorted,
+    prefix_at_indices,
 )
 
 
@@ -213,10 +213,13 @@ class DeviceCurveGroup:
     def _window_sum(self, P, digits):
         """Sum of b * (sum of points with digit b) for one c-bit window.
 
-        Latency-shaped: Hillis–Steele segmented scan for the buckets
-        (log2 N full-width EC adds) and HS suffix scans for the bucket
-        weighting — ~2 log2 N sequential steps per window total, versus
-        ~block*levels for the blocked formulation.
+        Work-efficient via the group structure: sort points by digit, then
+        the bucket sums are differences of inclusive prefix sums at the
+        bucket boundaries — B_b = E_b - E_{b-1} with E_b = sum of points
+        with digit <= b. Only the nb boundary prefixes are materialized
+        (prefix_at_indices: O(N) EC adds, one traced combiner per level,
+        versus O(N log N) for a full segmented scan). The bucket weighting
+        telescopes:  sum_b b*B_b = (nb-1)*E_{nb-1} - sum_{b<nb-1} E_b.
         """
         cf = self.cf
         order = jnp.argsort(digits)
@@ -224,13 +227,20 @@ class DeviceCurveGroup:
         Ps = tuple(c[order] for c in P)
         inf = point_infinity(cf)
         add = lambda a, b: ec_add(cf, a, b)
-        buckets = hs_segment_sum_sorted(add, Ps, d, self.nb, inf)
-        # suffix sums over buckets 1..nb-1: run[j] = sum_{b >= j} B_b
-        tail = tuple(b[1:] for b in buckets)
-        run = hs_scan(add, tail, reverse=True)
-        # S = sum_j run[j] = reverse-scan of run at position 0
-        total = hs_scan(add, run, reverse=True)
-        return jax.tree.map(lambda c: c[0], total)
+        cnt = jnp.searchsorted(
+            d, jnp.arange(self.nb, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        E = prefix_at_indices(add, Ps, inf, cnt - 1)  # (nb,) E_b
+        e_last = jax.tree.map(lambda c: c[self.nb - 1], E)
+        e_head = jax.tree.map(lambda c: c[: self.nb - 1], E)
+        sum_e = jax.tree.map(lambda c: c[-1], hs_scan(add, e_head))
+        # (nb-1)*E_last = 2^c * E_last - E_last
+        def dbl(_, a):
+            return ec_double(cf, a)
+
+        t = jax.lax.fori_loop(0, self.c, dbl, e_last)
+        acc = ec_add(cf, t, ec_neg(cf, e_last))
+        return ec_add(cf, acc, ec_neg(cf, sum_e))
 
     def _msm_impl(self, P, scalars):
         """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical.

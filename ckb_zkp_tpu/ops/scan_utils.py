@@ -179,6 +179,61 @@ def hs_scan(combine, elems, reverse: bool = False):
     return jax.lax.fori_loop(0, logn, body, elems)
 
 
+def prefix_at_indices(
+    combine, elems, identity, q, block: int = 32, hs_base: int = 1024
+):
+    """Inclusive prefix-combine of ``elems[0..q_i]`` for each query index.
+
+    q: (Q,) int32 in [-1, N); q_i = -1 yields `identity`. This is the
+    work-efficient replacement for a full scan when only a few prefix values
+    are needed (MSM bucket boundaries): block totals are accumulated with one
+    lax.scan (O(N) combines, ONE traced combiner instance), the block-total
+    prefix is resolved recursively, and each query gathers its block's rows
+    and mask-reduces them — O(N + Q*block) combines total versus O(N log N)
+    for a Hillis-Steele scan.
+    """
+    n = _leading(elems)
+    qn = q.shape[0]
+    ident_q = jax.tree.map(
+        lambda i: jnp.broadcast_to(i, (qn, *i.shape)), identity
+    )
+    qc = jnp.maximum(q, 0)
+    if n <= hs_base:
+        pref = hs_scan(combine, elems)
+        out = jax.tree.map(lambda x: x[jnp.minimum(qc, n - 1)], pref)
+        return _mask_tree(q >= 0, out, ident_q)
+    g = -(-n // block)
+    padded = _pad_to(elems, g * block, identity)
+    resh = jax.tree.map(lambda x: x.reshape(g, block, *x.shape[1:]), padded)
+    moved = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), resh)  # (B, G, ...)
+    init = jax.tree.map(lambda i: jnp.broadcast_to(i, (g, *i.shape)), identity)
+
+    def step(acc, x):
+        return combine(acc, x), None
+
+    totals, _ = jax.lax.scan(step, init, moved)  # (G, ...)
+    gq = qc // block
+    r = qc % block
+    before = prefix_at_indices(
+        combine, totals, identity, gq - 1, block, hs_base
+    )  # prefix of all blocks strictly before gq
+    # within-block partial: gather each query's block rows, mask past r
+    idxs = gq[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None]
+    rows = jax.tree.map(lambda x: x[idxs], padded)  # (Q, B, ...)
+    keep = (jnp.arange(block, dtype=jnp.int32)[None] <= r[:, None]).reshape(-1)
+    flat = jax.tree.map(lambda x: x.reshape(qn * block, *x.shape[2:]), rows)
+    masked = _mask_tree(
+        keep,
+        flat,
+        jax.tree.map(lambda i: jnp.broadcast_to(i, (qn * block, *i.shape)), identity),
+    )
+    resq = jax.tree.map(lambda x: x.reshape(qn, block, *x.shape[1:]), masked)
+    movq = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), resq)  # (B, Q, ...)
+    part2 = jax.tree.map(lambda x: x[-1], hs_scan(combine, movq))
+    out = combine(before, part2)
+    return _mask_tree(q >= 0, out, ident_q)
+
+
 def hs_segment_sum_sorted(combine, values, seg_ids, num_segments: int, identity):
     """segment_sum_sorted with a Hillis–Steele segmented inclusive scan:
     log2(N) full-width masked combines, then segment tails scattered out."""

@@ -105,6 +105,60 @@ def test_fixed_base_msm(curve):
     assert got == [host.mul(curve.g1_gen, s) for s in scalars]
 
 
+def test_prefix_at_indices():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ckb_zkp_tpu.ops.scan_utils import prefix_at_indices
+
+    rng = np.random.default_rng(7)
+    for n, block, hs_base in [(37, 8, 16), (1000, 8, 16), (5000, 32, 64)]:
+        x = jnp.asarray(rng.integers(0, 1000, size=(n, 2)), dtype=jnp.int32)
+        q = jnp.asarray(
+            np.concatenate([[-1, 0, n - 1], rng.integers(-1, n, size=29)]),
+            dtype=jnp.int32,
+        )
+        got = prefix_at_indices(
+            lambda a, b: a + b, x, jnp.zeros((2,), jnp.int32), q, block, hs_base
+        )
+        cs = np.cumsum(np.asarray(x), axis=0)
+        want = np.stack(
+            [np.zeros(2, np.int64) if qi < 0 else cs[qi] for qi in np.asarray(q)]
+        )
+        assert np.array_equal(np.asarray(got), want), (n, block, hs_base)
+
+
+def test_msm_recursive_prefix_path(curve):
+    """MSM large enough to recurse past prefix_at_indices' HS base case."""
+    import ckb_zkp_tpu.ops.scan_utils as su
+
+    dg = device_group(curve, "g1")
+    host = dg.host_group
+    n = 640
+    base = rand_points(curve, "g1", 8)
+    pts = [base[i % 8] for i in range(n)]
+    scalars = [RNG.randrange(curve.fr.modulus) for _ in range(n)]
+    orig = su.prefix_at_indices
+
+    def small_base(combine, elems, identity, q, block=8, hs_base=32):
+        return orig(combine, elems, identity, q, block, hs_base)
+
+    try:
+        su.prefix_at_indices = small_base
+        import ckb_zkp_tpu.ops.msm as msm_mod
+
+        msm_mod.prefix_at_indices = small_base
+        got = dg.decode_point(
+            dg.msm(dg.encode_points(pts), dg.encode_scalars(scalars))
+        )
+    finally:
+        su.prefix_at_indices = orig
+        import ckb_zkp_tpu.ops.msm as msm_mod
+
+        msm_mod.prefix_at_indices = orig
+    assert got == host.msm(pts, scalars)
+
+
 def test_hs_scan_and_segment_sum():
     import jax.numpy as jnp
     import numpy as np
