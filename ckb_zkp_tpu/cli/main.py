@@ -22,6 +22,26 @@ SETUP_DIR = Path("setup_files")
 PROOF_DIR = Path("proof_files")
 
 
+def _resolve_curve(name: str, scheme: str | None = None):
+    """Curve by CLI name (cli/src/zkp_prove.rs:164-169 string matching).
+
+    curve25519 serves the non-pairing schemes (spartan/bulletproofs), like
+    the reference's zkp-curve25519 configurations.
+    """
+    if name == "curve25519":
+        if scheme == "groth16":
+            raise SystemExit("groth16 needs a pairing curve (bn254|bls12_381)")
+        from ..host.ristretto import Curve25519
+
+        return Curve25519()
+    try:
+        return get_curve(name)
+    except KeyError:
+        raise SystemExit(
+            f"unknown curve {name!r} (expected bn254|bls12_381|curve25519)"
+        )
+
+
 def _circuit(name: str, curve, args: list[str], power_on: bool):
     if name == "mini":
         if not power_on:
@@ -47,7 +67,7 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
     write a .universal_setup artifact (framework codec) like the reference's
     spartan universal_setup files.
     """
-    curve = get_curve(curve_name)
+    curve = _resolve_curve(curve_name, scheme)
     rng = random.Random(seed)
     circuit, _ = _circuit(circuit_name, curve, [], power_on=False)
     SETUP_DIR.mkdir(exist_ok=True)
@@ -81,7 +101,7 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
     """Prove and write proof_files/*.proof.json (cli/src/zkp_prove.rs:16-173)."""
     if scheme not in SCHEMES:
         raise SystemExit(f"unknown scheme {scheme!r} (expected one of {SCHEMES})")
-    curve = get_curve(curve_name)
+    curve = _resolve_curve(curve_name, scheme)
     circuit, publics = _circuit(circuit_name, curve, args, power_on=True)
     rng = random.Random(seed)
     name = f"{scheme}-{curve.name}-{circuit_name}"
@@ -134,7 +154,7 @@ def verify_cmd(proof_file: str) -> bool:
     scheme = payload["scheme"]
     if scheme not in SCHEMES:
         raise SystemExit(f"unknown scheme {scheme!r} (expected one of {SCHEMES})")
-    curve = get_curve(payload["curve"])
+    curve = _resolve_curve(payload["curve"], scheme)
     name = f"{scheme}-{curve.name}-{payload['circuit']}"
     raw = bytes.fromhex(payload["params"])
     nb = curve.fr.nbytes

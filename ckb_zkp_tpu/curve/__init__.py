@@ -53,14 +53,14 @@ class Curve:
 
     def device(self, group: str = "g1") -> DeviceCurveGroup:
         if self.name == "curve25519":
-            raise NotImplementedError("curve25519 runs host group ops (no device kernels yet)")
+            from ..ops.ristretto_device import device_ristretto_group
+
+            return device_ristretto_group()
         return device_group(self.inner, group)
 
     def vartime_multiscalar_mul(
         self, scalars: list[int], points: list[AffinePoint], group: str = "g1"
     ) -> AffinePoint:
-        if self.name == "curve25519":
-            return self.g1.msm(points, scalars)
         dg = self.device(group)
         if len(points) <= dg.small_host_threshold:
             host = self.g1 if group == "g1" else self.g2

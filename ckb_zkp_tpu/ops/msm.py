@@ -74,9 +74,25 @@ class DeviceCurveGroup:
         # XLA compiles for every tiny protocol-layer MSM); the device path
         # always serves TPU and large batches
         self.small_host_threshold = 512 if jax.default_backend() == "cpu" else 0
+        # chunk size for fixed-base batches (full-width EC adds materialize
+        # (N, L, L) mul temporaries — G2 at 2^18 OOMs HBM unchunked)
+        self._fb_chunk = (1 << 15) if group == "g1" else (1 << 14)
         self._msm_jit = jax.jit(self._msm_impl)
         self._fixed_base_jit = jax.jit(self._fixed_base_impl)
         self._table = jax.jit(self._table_impl)
+
+    # ------------- pluggable point ops (overridden by Edwards backends) ----
+    def p_add(self, a, b):
+        return ec_add(self.cf, a, b)
+
+    def p_double(self, a):
+        return ec_double(self.cf, a)
+
+    def p_neg(self, a):
+        return ec_neg(self.cf, a)
+
+    def p_identity(self, batch_shape=()):
+        return point_infinity(self.cf, batch_shape)
 
     # ------------- host <-> device -------------
     def _coord_encode(self, coords) -> jnp.ndarray:
@@ -194,7 +210,7 @@ class DeviceCurveGroup:
             return self.encode_point(self.host_group.msm(pts, ss))
         np2 = max(8, 1 << (n - 1).bit_length())
         if np2 != n:
-            pad = point_infinity(self.cf, (np2 - n,))
+            pad = self.p_identity((np2 - n,))
             P = jax.tree.map(
                 lambda c, z: jnp.concatenate([c, z], axis=0), tuple(P), pad
             )
@@ -221,12 +237,11 @@ class DeviceCurveGroup:
         versus O(N log N) for a full segmented scan). The bucket weighting
         telescopes:  sum_b b*B_b = (nb-1)*E_{nb-1} - sum_{b<nb-1} E_b.
         """
-        cf = self.cf
         order = jnp.argsort(digits)
         d = digits[order].astype(jnp.int32)
         Ps = tuple(c[order] for c in P)
-        inf = point_infinity(cf)
-        add = lambda a, b: ec_add(cf, a, b)
+        inf = self.p_identity()
+        add = self.p_add
         cnt = jnp.searchsorted(
             d, jnp.arange(self.nb, dtype=jnp.int32), side="right"
         ).astype(jnp.int32)
@@ -236,11 +251,11 @@ class DeviceCurveGroup:
         sum_e = jax.tree.map(lambda c: c[-1], hs_scan(add, e_head))
         # (nb-1)*E_last = 2^c * E_last - E_last
         def dbl(_, a):
-            return ec_double(cf, a)
+            return self.p_double(a)
 
         t = jax.lax.fori_loop(0, self.c, dbl, e_last)
-        acc = ec_add(cf, t, ec_neg(cf, e_last))
-        return ec_add(cf, acc, ec_neg(cf, sum_e))
+        acc = add(t, self.p_neg(e_last))
+        return add(acc, self.p_neg(sum_e))
 
     def _msm_impl(self, P, scalars):
         """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical.
@@ -249,7 +264,6 @@ class DeviceCurveGroup:
         runtime): batching windows with vmap multiplies every scan
         intermediate by the window count and blows out HBM at 2^16+ points.
         """
-        cf = self.cf
         W = self.nwindows
 
         def body(_, w):
@@ -259,28 +273,27 @@ class DeviceCurveGroup:
 
         def outer(i, acc):
             def dbl(_, a):
-                return ec_double(cf, a)
+                return self.p_double(a)
 
             acc = jax.lax.fori_loop(0, self.c, dbl, acc)
             s_w = jax.tree.map(lambda c: c[W - 1 - i], S)
-            return ec_add(cf, acc, s_w)
+            return self.p_add(acc, s_w)
 
-        return jax.lax.fori_loop(0, W, outer, point_infinity(cf))
+        return jax.lax.fori_loop(0, W, outer, self.p_identity())
 
     # ------------- fixed-base (setup path) -------------
     def _table_impl(self, base):
         """Window tables T[w, d] = d * 2^(cw) * base, w < nwindows, d < 2^c."""
-        cf = self.cf
 
         def row(b, _):
             rep = jax.tree.map(lambda c: jnp.broadcast_to(c, (self.nb,) + c.shape), b)
             mult = blocked_scan(
-                lambda x, y: ec_add(cf, x, y), rep, point_infinity(cf)
+                self.p_add, rep, self.p_identity()
             )  # [b, 2b, ..., nb*b]
             table_row = jax.tree.map(
                 lambda m, z: jnp.concatenate([z, m[:-1]], axis=0),
                 mult,
-                point_infinity(cf, (1,)),
+                self.p_identity((1,)),
             )
             next_b = jax.tree.map(lambda m: m[-1], mult)  # nb * b
             return next_b, table_row
@@ -290,17 +303,16 @@ class DeviceCurveGroup:
 
     def _fixed_base_impl(self, table, scalars):
         """scalars: (N, L) canonical limbs -> (N,) points via table gathers."""
-        cf = self.cf
         n = scalars.shape[0]
 
         def body(w, acc):
             digits = self._digits(scalars, w).astype(jnp.int32)
             row = jax.tree.map(lambda t: t[w], table)
             picked = jax.tree.map(lambda t: t[digits], row)
-            return ec_add(cf, acc, picked)
+            return self.p_add(acc, picked)
 
         return jax.lax.fori_loop(
-            0, self.nwindows, body, point_infinity(cf, (n,))
+            0, self.nwindows, body, self.p_identity((n,))
         )
 
     def fixed_base_msm(self, table, scalars):
@@ -326,7 +338,7 @@ class DeviceCurveGroup:
         # chunk big batches: a full-width EC add materializes (N, L, L) mul
         # temporaries — at 2^18 G2 scalars that OOMs HBM. One compiled graph
         # serves every chunk.
-        chunk = (1 << 15) if self.group == "g1" else (1 << 14)
+        chunk = self._fb_chunk
         if np2 > chunk:
             parts = [
                 self._fixed_base_jit(table, scalars[i : i + chunk])
@@ -391,12 +403,14 @@ _fixed_base_cache: dict[int, tuple[object, object]] = {}
 def msm_over_fixed_base(curve, base_points: list, scalars: list[int]) -> AffinePoint:
     """MSM of scalars over a prefix of a long-lived generator list."""
     host = curve.g1
-    if (
-        len(scalars) < FIXED_BASE_MSM_MIN
-        or getattr(curve, "name", "") == "curve25519"
-    ):
+    if len(scalars) < FIXED_BASE_MSM_MIN:
         return host.msm(base_points[: len(scalars)], scalars)
-    dg = device_group(curve, "g1")
+    if getattr(curve, "name", "") == "curve25519":
+        from .ristretto_device import device_ristretto_group
+
+        dg = device_ristretto_group()
+    else:
+        dg = device_group(curve, "g1")
     key = id(base_points)
     ent = _fixed_base_cache.get(key)
     if ent is None or ent[0] is not base_points:

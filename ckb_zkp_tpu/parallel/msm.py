@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..ops.ec import ec_add, point_infinity
 from ..ops.msm import DeviceCurveGroup
 from ..ops.scan_utils import blocked_reduce
 from .mesh import SHARD_AXIS
@@ -30,7 +29,7 @@ def msm_sharded(dg: DeviceCurveGroup, points, scalars, mesh, axis: str = SHARD_A
     n = scalars.shape[0]
     np2 = max(8 * d, 1 << (n - 1).bit_length())
     if np2 != n:
-        pad = point_infinity(dg.cf, (np2 - n,))
+        pad = dg.p_identity((np2 - n,))
         points = jax.tree.map(
             lambda c, z: jnp.concatenate([c, z], axis=0), tuple(points), pad
         )
@@ -55,8 +54,6 @@ def msm_sharded(dg: DeviceCurveGroup, points, scalars, mesh, axis: str = SHARD_A
         gathered = jax.tree.map(
             lambda c: jax.lax.all_gather(c, axis, axis=0), part
         )
-        return blocked_reduce(
-            lambda a, b: ec_add(dg.cf, a, b), gathered, point_infinity(dg.cf)
-        )
+        return blocked_reduce(dg.p_add, gathered, dg.p_identity())
 
     return jax.jit(fn)(tuple(points), scalars)
