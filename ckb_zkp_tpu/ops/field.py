@@ -14,6 +14,8 @@ Montgomery form unless noted.
 from __future__ import annotations
 
 import functools
+import math
+import os
 
 import numpy as np
 import jax
@@ -53,6 +55,12 @@ class DeviceField:
         self.r_limbs = int_to_limbs(self.R, self.L)  # = one in Montgomery form
         self.r2_limbs = int_to_limbs(self.R2, self.L)
         self.one_raw = int_to_limbs(1, self.L)
+        # fused Pallas Montgomery kernel on TPU backends (bit-identical to
+        # the XLA path; CKB_ZKP_TPU_NO_PALLAS=1 forces XLA everywhere)
+        self.use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("CKB_ZKP_TPU_NO_PALLAS", "0") in ("", "0")
+        )
         # jit the hot entry points (ops compose fine when already inside jit;
         # nested jit is inlined by the tracer)
         self.add = jax.jit(self.add)
@@ -170,8 +178,17 @@ class DeviceField:
         s = jax.lax.optimization_barrier(s)
         return self._cond_sub_p(s[..., L:])  # low half is 0; value < 2p
 
+    def _pallas_batch(self, a: jnp.ndarray, b: jnp.ndarray) -> int:
+        if not self.use_pallas:
+            return 0
+        return math.prod(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
+
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product: (a*b*R^-1) mod p."""
+        from .pallas_field import PALLAS_MIN_BATCH, mont_mul
+
+        if self._pallas_batch(a, b) >= PALLAS_MIN_BATCH:
+            return mont_mul(self, a, b)
         return self._mont_reduce(self._school_product(a, b))
 
     def sqr(self, a: jnp.ndarray) -> jnp.ndarray:
@@ -236,6 +253,12 @@ class DeviceField:
         return self.mul(raw, jnp.asarray(self.r2_limbs))
 
     def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
+        from .pallas_field import PALLAS_MIN_BATCH, mont_mul
+
+        one = jnp.asarray(self.one_raw)
+        if self._pallas_batch(a, one) >= PALLAS_MIN_BATCH:
+            # mont(a, 1) = a * R^-1 — same reduction, fused kernel
+            return mont_mul(self, a, one)
         return self._mont_reduce(
             jnp.concatenate([a, jnp.zeros_like(a)], axis=-1)
         )
