@@ -117,8 +117,25 @@ def ec_double(cf, p):
     return (X3, Y3, Z3)
 
 
+def _pallas_ec_batch(cf, p, q) -> int:
+    if not isinstance(cf, DeviceField) or not getattr(cf, "use_pallas", False):
+        return 0
+    import math
+
+    shape = jnp.broadcast_shapes(
+        *(c.shape[:-1] for c in p), *(c.shape[:-1] for c in q)
+    )
+    return math.prod(shape)
+
+
 def ec_add(cf, p, q):
     """Complete Jacobian addition via selects (handles inf, P==Q, P==-Q)."""
+    from .pallas_field import PALLAS_MIN_BATCH
+
+    if _pallas_ec_batch(cf, p, q) >= PALLAS_MIN_BATCH:
+        from .pallas_ec import ec_add_pallas
+
+        return ec_add_pallas(cf, p, q)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     Z1Z1 = cf.sqr(Z1)

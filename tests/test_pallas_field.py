@@ -15,6 +15,78 @@ from ckb_zkp_tpu.ops.field import device_field
 from ckb_zkp_tpu.ops.pallas_field import _mont_mul_rows
 
 
+def _rows(arr, L):
+    return [arr.T[i] for i in range(L)]
+
+
+def _unrows(rows):
+    return np.asarray(jax.device_get(jnp.stack(rows, axis=0).T))
+
+
+@pytest.mark.parametrize("fieldsel", ["fr", "fq"])
+def test_add_sub_rows_match_device_field(fieldsel):
+    from ckb_zkp_tpu.ops.pallas_field import _add_rows, _sub_rows
+
+    curve = get_curve("bn254")
+    spec = getattr(curve, fieldsel)
+    df = device_field(spec)
+    rng = np.random.default_rng(5)
+    n = 64
+    xs = [int(x) % spec.modulus for x in rng.integers(0, 2**63, size=n) ** 2]
+    ys = [int(x) % spec.modulus for x in rng.integers(0, 2**63, size=n) ** 2]
+    xs[0], ys[0] = 0, 0
+    xs[1] = spec.modulus - 1
+    ys[2] = spec.modulus - 1
+    A, B = df.encode(xs), df.encode(ys)
+    p = tuple(int(v) for v in df.p_limbs)
+    got_add = _unrows(_add_rows(_rows(A, df.L), _rows(B, df.L), p))
+    got_sub = _unrows(_sub_rows(_rows(A, df.L), _rows(B, df.L), p))
+    assert np.array_equal(np.asarray(jax.device_get(df.add(A, B))), got_add)
+    assert np.array_equal(np.asarray(jax.device_get(df.sub(A, B))), got_sub)
+
+
+def test_ec_add_kernel_math_matches_xla():
+    """The fused EC kernel body (row form) vs ops/ec.ec_add on CPU."""
+    from ckb_zkp_tpu.ops import ec
+    from ckb_zkp_tpu.ops.msm import device_group
+
+    curve = get_curve("bn254")
+    fq = device_field(curve.fq)
+    dg = device_group(curve, "g1")
+    host = curve.g1
+    g = curve.g1_gen
+    pts = [host.mul(g, k) for k in (1, 5, 9, 12)] + [host.infinity, host.infinity]
+    qts = [host.mul(g, k) for k in (3, 5, 9, 12)] + [host.mul(g, 2), host.infinity]
+    qts[1] = pts[1]
+    qts[2] = host.neg(pts[2])
+    P = dg.encode_points(pts)
+    Q = dg.encode_points(qts)
+    want = jax.device_get(ec.ec_add(fq, P, Q))
+
+    from ckb_zkp_tpu.ops import pallas_ec
+
+    p = tuple(int(v) for v in fq.p_limbs)
+    npr = tuple(int(v) for v in fq.nprime_limbs)
+    L = fq.L
+
+    class FakeRef:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __getitem__(self, idx):
+            assert idx == slice(None)
+            return self.arr
+
+        def __setitem__(self, idx, val):
+            self.arr = val
+
+    refs = [FakeRef(c) for c in (*P, *Q)]
+    outs = [FakeRef(None) for _ in range(3)]
+    pallas_ec._ec_add_kernel(L, p, npr, *refs, *outs)
+    got = [np.asarray(jax.device_get(o.arr)) for o in outs]
+    assert all(np.array_equal(a, b) for a, b in zip(want, got))
+
+
 @pytest.mark.parametrize(
     "cname,fieldsel",
     [("bn254", "fr"), ("bn254", "fq"), ("bls12_381", "fq")],
