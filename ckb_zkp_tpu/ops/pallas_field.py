@@ -91,6 +91,34 @@ def _cond_sub_p(u, p_limbs):
     return [jnp.where(ge > 0, d[k], u[k]) for k in range(L)]
 
 
+def _add_rows(a, b, p_limbs):
+    """Canonical limb-rows a + b mod p (2p < R, so no carry-out)."""
+    s, _ = _ripple([a[k] + b[k] for k in range(len(a))])
+    return _cond_sub_p(s, p_limbs)
+
+
+def _sub_rows(a, b, p_limbs):
+    """a - b mod p via two's complement, mirroring DeviceField.sub."""
+    L = len(a)
+    d, no_borrow = _ripple(
+        [a[k] + (MASK - b[k]) + (1 if k == 0 else 0) for k in range(L)]
+    )
+    d2, _ = _ripple([d[k] + int(p_limbs[k]) for k in range(L)])
+    nb = no_borrow > 0
+    return [jnp.where(nb, d[k], d2[k]) for k in range(L)]
+
+
+def _is_zero_rows(a):
+    z = a[0] == 0
+    for r in a[1:]:
+        z = z & (r == 0)
+    return z
+
+
+def _select_rows(mask, a, b):
+    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
 def _mont_mul_rows(a, b, p_limbs, np_limbs):
     """Limb-row lists (length L) -> Montgomery product rows, canonical."""
     L = len(a)
