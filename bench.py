@@ -18,6 +18,18 @@ import sys
 import time
 
 
+def sync(out) -> None:
+    """Force execution to finish. `jax.block_until_ready` is a no-op on the
+    axon TPU-tunnel platform (async remote execution acks dispatch, not
+    completion) — fetching one element is the only reliable barrier."""
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def main() -> None:
     k = int(os.environ.get("BENCH_LOG2", "16"))
     n = 1 << k
@@ -42,7 +54,7 @@ def main() -> None:
     params = groth16.generate_parameters_from_shape(
         shape, curve, alpha=5, beta=7, gamma=11, delta=13, t=0xABCDEF0123456789
     )
-    jax.block_until_ready(params.a_query)
+    sync(params.a_query)
     setup_s = time.time() - t0
 
     qap = QapMatrices(shape, curve.fr)
@@ -63,11 +75,9 @@ def main() -> None:
     # MSM sub-benchmark: G1 MSM over the a_query points
     dg1 = device_group(curve, "g1")
     z_can = fr.from_mont(fr.encode(shape.full_assignment()))
-    r = dg1.msm(params.a_query, z_can)
-    jax.block_until_ready(r)
+    sync(dg1.msm(params.a_query, z_can))
     t0 = time.time()
-    r = dg1.msm(params.a_query, z_can)
-    jax.block_until_ready(r)
+    sync(dg1.msm(params.a_query, z_can))
     msm_s = time.time() - t0
     npoints = z_can.shape[0]
 
@@ -76,9 +86,9 @@ def main() -> None:
 
     dom = get_domain(curve.fr, qap.m)
     x = fr.encode([3] * qap.m)
-    jax.block_until_ready(dom.ntt(x))
+    sync(dom.ntt(x))
     t0 = time.time()
-    jax.block_until_ready(dom.ntt(x))
+    sync(dom.ntt(x))
     ntt_s = time.time() - t0
 
     baseline_s = 15.0 * n / (1 << 20)  # estimated rust reference (see docstring)
