@@ -1,19 +1,26 @@
 """Pallas TPU kernel for batched Montgomery field multiplication.
 
 The single hottest op in the framework: every NTT butterfly, EC point add and
-sumcheck table update is a chain of these (reference counterpart: arkwork's
+sumcheck table update is a chain of these (reference counterpart: arkworks'
 `ark-ff` Montgomery backend, SURVEY.md §2.1). The pure-XLA formulation in
 ops/field.py materializes (N, L, L) outer products and skew-reshape
-temporaries in HBM — measured ~5.8M mont-mul/s on one chip, ~200x below the
-VPU compute bound. This kernel keeps the whole schoolbook product +
-SOS Montgomery reduction in VMEM/registers:
+temporaries in HBM — ~160 ms for 2^20 multiplies on one chip. This kernel
+keeps the whole schoolbook product + SOS Montgomery reduction in
+VMEM/registers and runs at ~0.6 ms for 2^20 (~1.7e9 mul/s, within ~3x of the
+HBM read/write bound).
 
-- layout: blocks of (BLK, L) canonical 16-bit limbs are transposed once in
-  VMEM to limb-major rows (L, BLK), so every limb is a full-lane vector;
+Layout is the whole game (measured):
+- each limb must be a full 2-D (SB, 128) VPU tile. Limbs-as-rows of a
+  transposed (L, BLK) block — 1-D values — waste the 8-sublane dimension and
+  run ~40x slower; the in-kernel transpose of an interleaved (BLK, L) block
+  costs ~12x. So device arrays are reshaped OUTSIDE the kernel (one XLA
+  transpose each way, bandwidth-cost only) to limb-major tiles
+  (L, n/128, 128), and the kernel indexes `ref[i]` to get limb i as a
+  (SB, 128) tile.
 - products split lo/hi 16-bit halves (column sums of <= L terms stay < 2^21,
   no wide accumulator needed — same invariant as ops/limbs.py);
 - carries resolved with an in-register ripple (sequential per limb, but fully
-  pipelined across the BLK lanes);
+  pipelined across the tile);
 - conditional subtract via two's-complement add, exactly matching the XLA
   path bit-for-bit (both return canonical limbs < p).
 
@@ -25,19 +32,20 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK = (1 << 16) - 1
-BLK = 1024  # elements per grid step; (L, BLK) u32 tiles fill VPU lanes
+LANES = 128
+SUBS_SMALL = 8  # sublanes per block for small batches (1024 elements)
+SUBS_BIG = 32  # for large batches (4096 elements/block)
 PALLAS_MIN_BATCH = 256
 
 
 def _conv_lazy(u, v, ncols):
-    """Column sums of the schoolbook product of limb-row lists u, v.
+    """Column sums of the schoolbook product of limb-tile lists u, v.
 
     Each u[i]*v[j] is an exact u32 (16x16-bit); lo/hi halves are accumulated
     separately so columns stay < 2^21. Returns `ncols` lazy columns.
@@ -54,6 +62,43 @@ def _conv_lazy(u, v, ncols):
             phi = prod >> 16
             lo[k] = plo if lo[k] is None else lo[k] + plo
             hi[k] = phi if hi[k] is None else hi[k] + phi
+    cols = []
+    for k in range(ncols):
+        c = lo[k]
+        if c is None:
+            c = jnp.zeros_like(u[0])
+        if k >= 1 and hi[k - 1] is not None:
+            c = c + hi[k - 1]
+        cols.append(c)
+    return cols
+
+
+def _sqr_conv_lazy(u, ncols):
+    """Column sums of the symmetric square: 2*u_i*u_j (i<j) + u_i^2.
+
+    Exact-integer-identical to `_conv_lazy(u, u, ncols)` (same column
+    values, accumulated with ~half the multiplies). Doubling happens after
+    the lo/hi split so every intermediate stays in u32.
+    """
+    lo = [None] * ncols
+    hi = [None] * ncols
+
+    def acc(k, plo, phi):
+        lo[k] = plo if lo[k] is None else lo[k] + plo
+        hi[k] = phi if hi[k] is None else hi[k] + phi
+
+    for i in range(len(u)):
+        for j in range(i, len(u)):
+            k = i + j
+            if k >= ncols:
+                continue
+            prod = u[i] * u[j]
+            plo = prod & MASK
+            phi = prod >> 16
+            if j > i:
+                plo = plo + plo
+                phi = phi + phi
+            acc(k, plo, phi)
     cols = []
     for k in range(ncols):
         c = lo[k]
@@ -92,7 +137,7 @@ def _cond_sub_p(u, p_limbs):
 
 
 def _add_rows(a, b, p_limbs):
-    """Canonical limb-rows a + b mod p (2p < R, so no carry-out)."""
+    """Canonical limb-tiles a + b mod p (2p < R, so no carry-out)."""
     s, _ = _ripple([a[k] + b[k] for k in range(len(a))])
     return _cond_sub_p(s, p_limbs)
 
@@ -119,47 +164,68 @@ def _select_rows(mask, a, b):
     return [jnp.where(mask, x, y) for x, y in zip(a, b)]
 
 
-def _mont_mul_rows(a, b, p_limbs, np_limbs):
-    """Limb-row lists (length L) -> Montgomery product rows, canonical."""
-    L = len(a)
-    t_cols = _conv_lazy(a, b, 2 * L)
-    t_can, _ = _ripple(t_cols)
-    npl = [jnp.full_like(a[0], int(v)) for v in np_limbs]
+def _mont_reduce_cols(t_can, p_limbs, np_limbs):
+    """Canonical 2L product limbs -> Montgomery-reduced canonical L limbs."""
+    L = len(p_limbs)
+    npl = [jnp.full_like(t_can[0], int(v)) for v in np_limbs]
     m_can, _ = _ripple(_conv_lazy(t_can[:L], npl, L))
-    pl_rows = [jnp.full_like(a[0], int(v)) for v in p_limbs]
+    pl_rows = [jnp.full_like(t_can[0], int(v)) for v in p_limbs]
     mp_cols = _conv_lazy(m_can, pl_rows, 2 * L)
     s_cols = [t_can[k] + mp_cols[k] for k in range(2 * L)]
     s_can, _ = _ripple(s_cols)
     return _cond_sub_p(s_can[L:], p_limbs)
 
 
+def _mont_mul_rows(a, b, p_limbs, np_limbs):
+    """Limb-tile lists (length L) -> Montgomery product, canonical."""
+    t_can, _ = _ripple(_conv_lazy(a, b, 2 * len(a)))
+    return _mont_reduce_cols(t_can, p_limbs, np_limbs)
+
+
+def _mont_sqr_rows(a, p_limbs, np_limbs):
+    """Montgomery square — bit-identical to _mont_mul_rows(a, a) with ~half
+    the limb multiplies (symmetric schoolbook)."""
+    t_can, _ = _ripple(_sqr_conv_lazy(a, 2 * len(a)))
+    return _mont_reduce_cols(t_can, p_limbs, np_limbs)
+
+
+# ---------------------------------------------------------------- plumbing
+def to_tiles(x: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(n, L) interleaved -> (L, n/128, 128) limb-major tiles (n % 128 == 0)."""
+    return x.T.reshape(L, -1, LANES)
+
+
+def from_tiles(t: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(L, n/128, 128) -> (n, L)."""
+    return t.reshape(L, -1).T
+
+
+def pad_batch(n: int) -> tuple[int, int]:
+    """Padded element count and sublane block size for a batch of n."""
+    sb = SUBS_SMALL if n <= 4 * SUBS_SMALL * LANES else SUBS_BIG
+    blk = sb * LANES
+    return -(-n // blk) * blk, sb
+
+
 def _mul_kernel(L, p_limbs, np_limbs, a_ref, b_ref, o_ref):
-    at = a_ref[:].T  # (BLK, L) -> (L, BLK), one VMEM transpose
-    bt = b_ref[:].T
-    a = [at[i, :] for i in range(L)]
-    b = [bt[i, :] for i in range(L)]
-    out = _mont_mul_rows(a, b, p_limbs, np_limbs)
-    o_ref[:] = jnp.stack(out, axis=0).T
+    a = [a_ref[i] for i in range(L)]  # (SB, 128) tiles
+    b = [b_ref[i] for i in range(L)]
+    o_ref[:] = jnp.stack(_mont_mul_rows(a, b, p_limbs, np_limbs), axis=0)
 
 
 @functools.lru_cache(maxsize=None)
-def _mul_fn(L: int, p_limbs: tuple, np_limbs: tuple):
+def _mul_fn(L: int, sb: int, p_limbs: tuple, np_limbs: tuple):
     kern = functools.partial(_mul_kernel, L, p_limbs, np_limbs)
 
     @jax.jit
-    def run(a, b):
-        n = a.shape[0]
+    def run(a, b):  # (L, n/128, 128) tiles
+        spec = pl.BlockSpec((L, sb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((n, L), jnp.uint32),
-            grid=(n // BLK,),
-            in_specs=[
-                pl.BlockSpec((BLK, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLK, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (BLK, L), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
+            grid=(a.shape[1] // sb,),
+            in_specs=[spec, spec],
+            out_specs=spec,
         )(a, b)
 
     return run
@@ -176,11 +242,15 @@ def mont_mul(df, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a = jnp.broadcast_to(a, (*shape, L)).reshape(-1, L)
     b = jnp.broadcast_to(b, (*shape, L)).reshape(-1, L)
     n = a.shape[0]
-    npad = -(-n // BLK) * BLK
+    npad, sb = pad_batch(n)
     if npad != n:
         zpad = ((0, npad - n), (0, 0))
         a = jnp.pad(a, zpad)
         b = jnp.pad(b, zpad)
-    fn = _mul_fn(L, tuple(int(x) for x in df.p_limbs), tuple(int(x) for x in df.nprime_limbs))
-    out = fn(a, b)
+    fn = _mul_fn(
+        L, sb,
+        tuple(int(x) for x in df.p_limbs),
+        tuple(int(x) for x in df.nprime_limbs),
+    )
+    out = from_tiles(fn(to_tiles(a, L), to_tiles(b, L)), L)
     return out[:n].reshape(*shape, L)

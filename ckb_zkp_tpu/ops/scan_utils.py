@@ -180,7 +180,15 @@ def hs_scan(combine, elems, reverse: bool = False):
 
 
 def prefix_at_indices(
-    combine, elems, identity, q, block: int = 32, hs_base: int = 1024
+    combine,
+    elems,
+    identity,
+    q,
+    block: int = 32,
+    hs_base: int = 1024,
+    leaf_combine=None,
+    leaf_identity=None,
+    promote=None,
 ):
     """Inclusive prefix-combine of ``elems[0..q_i]`` for each query index.
 
@@ -191,27 +199,37 @@ def prefix_at_indices(
     prefix is resolved recursively, and each query gathers its block's rows
     and mask-reduces them — O(N + Q*block) combines total versus O(N log N)
     for a Hillis-Steele scan.
+
+    Mixed-representation mode (MSM affine leaves): when `leaf_combine` is
+    given, `elems` are in a cheaper *leaf* representation and the O(N)
+    level-1 combines use `leaf_combine(acc, leaf) -> acc` instead of
+    `combine`; `leaf_identity` pads the leaf array and `promote(leaves)`
+    lifts leaves to the accumulator representation for the small
+    query-partial scans. Everything past level 1 runs in accumulator form.
     """
     n = _leading(elems)
     qn = q.shape[0]
+    leaf = leaf_combine is not None
+    lid = leaf_identity if leaf else identity
     ident_q = jax.tree.map(
         lambda i: jnp.broadcast_to(i, (qn, *i.shape)), identity
     )
     qc = jnp.maximum(q, 0)
     if n <= hs_base:
-        pref = hs_scan(combine, elems)
+        pref = hs_scan(combine, promote(elems) if leaf else elems)
         out = jax.tree.map(lambda x: x[jnp.minimum(qc, n - 1)], pref)
         return _mask_tree(q >= 0, out, ident_q)
     g = -(-n // block)
-    padded = _pad_to(elems, g * block, identity)
+    padded = _pad_to(elems, g * block, lid)
     resh = jax.tree.map(lambda x: x.reshape(g, block, *x.shape[1:]), padded)
     moved = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), resh)  # (B, G, ...)
     init = jax.tree.map(lambda i: jnp.broadcast_to(i, (g, *i.shape)), identity)
+    step_combine = leaf_combine if leaf else combine
 
     def step(acc, x):
-        return combine(acc, x), None
+        return step_combine(acc, x), None
 
-    totals, _ = jax.lax.scan(step, init, moved)  # (G, ...)
+    totals, _ = jax.lax.scan(step, init, moved)  # (G, ...) accumulator form
     gq = qc // block
     r = qc % block
     before = prefix_at_indices(
@@ -220,8 +238,10 @@ def prefix_at_indices(
     # within-block partial: gather each query's block rows, mask past r
     idxs = gq[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None]
     rows = jax.tree.map(lambda x: x[idxs], padded)  # (Q, B, ...)
-    keep = (jnp.arange(block, dtype=jnp.int32)[None] <= r[:, None]).reshape(-1)
     flat = jax.tree.map(lambda x: x.reshape(qn * block, *x.shape[2:]), rows)
+    if leaf:
+        flat = promote(flat)
+    keep = (jnp.arange(block, dtype=jnp.int32)[None] <= r[:, None]).reshape(-1)
     masked = _mask_tree(
         keep,
         flat,

@@ -45,45 +45,77 @@ def test_add_sub_rows_match_device_field(fieldsel):
     assert np.array_equal(np.asarray(jax.device_get(df.sub(A, B))), got_sub)
 
 
+class _FakeRef:
+    """Stands in for a VMEM ref: integer indexing + full-slice writes."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def __setitem__(self, idx, val):
+        assert idx == slice(None)
+        self.arr = val
+
+
+def _fixture_points(curve):
+    host = curve.g1
+    g = curve.g1_gen
+    pts = [host.mul(g, k) for k in (1, 5, 9, 12)] + [host.infinity, host.infinity]
+    qts = [host.mul(g, k) for k in (3, 5, 9, 12)] + [host.mul(g, 2), host.infinity]
+    qts[1] = pts[1]  # doubling branch
+    qts[2] = host.neg(pts[2])  # P == -Q -> infinity
+    return pts, qts
+
+
 def test_ec_add_kernel_math_matches_xla():
-    """The fused EC kernel body (row form) vs ops/ec.ec_add on CPU."""
-    from ckb_zkp_tpu.ops import ec
+    """The fused EC kernel body (limb-major form) vs ops/ec.ec_add on CPU."""
+    from ckb_zkp_tpu.ops import ec, pallas_ec
     from ckb_zkp_tpu.ops.msm import device_group
 
     curve = get_curve("bn254")
     fq = device_field(curve.fq)
     dg = device_group(curve, "g1")
-    host = curve.g1
-    g = curve.g1_gen
-    pts = [host.mul(g, k) for k in (1, 5, 9, 12)] + [host.infinity, host.infinity]
-    qts = [host.mul(g, k) for k in (3, 5, 9, 12)] + [host.mul(g, 2), host.infinity]
-    qts[1] = pts[1]
-    qts[2] = host.neg(pts[2])
+    pts, qts = _fixture_points(curve)
     P = dg.encode_points(pts)
     Q = dg.encode_points(qts)
     want = jax.device_get(ec.ec_add(fq, P, Q))
 
-    from ckb_zkp_tpu.ops import pallas_ec
+    p = tuple(int(v) for v in fq.p_limbs)
+    npr = tuple(int(v) for v in fq.nprime_limbs)
+    L = fq.L
+    refs = [_FakeRef(jnp.asarray(c).T) for c in (*P, *Q)]  # (L, N) rows
+    outs = [_FakeRef(None) for _ in range(3)]
+    pallas_ec._ec_add_kernel(L, p, npr, *refs, *outs)
+    got = [np.asarray(jax.device_get(o.arr)).T for o in outs]
+    assert all(np.array_equal(a, b) for a, b in zip(want, got))
+
+
+def test_ec_madd_kernel_math_matches_xla():
+    """The fused mixed-add kernel (affine Q) vs ops/ec.ec_add on CPU."""
+    from ckb_zkp_tpu.ops import ec, pallas_ec
+    from ckb_zkp_tpu.ops.msm import device_group
+
+    curve = get_curve("bn254")
+    fq = device_field(curve.fq)
+    dg = device_group(curve, "g1")
+    pts, qts = _fixture_points(curve)
+    P = dg.encode_points(pts)
+    Q = dg.encode_points(qts)  # affine encoding: Z in {0, 1}
+    want = jax.device_get(ec.ec_add(fq, P, Q))
 
     p = tuple(int(v) for v in fq.p_limbs)
     npr = tuple(int(v) for v in fq.nprime_limbs)
     L = fq.L
-
-    class FakeRef:
-        def __init__(self, arr):
-            self.arr = arr
-
-        def __getitem__(self, idx):
-            assert idx == slice(None)
-            return self.arr
-
-        def __setitem__(self, idx, val):
-            self.arr = val
-
-    refs = [FakeRef(c) for c in (*P, *Q)]
-    outs = [FakeRef(None) for _ in range(3)]
-    pallas_ec._ec_add_kernel(L, p, npr, *refs, *outs)
-    got = [np.asarray(jax.device_get(o.arr)) for o in outs]
+    inf2 = np.array([q.infinity for q in qts], dtype=np.uint32)
+    refs = [_FakeRef(jnp.asarray(c).T) for c in (*P, Q[0], Q[1])]
+    refs.append(_FakeRef(jnp.asarray(inf2)[None, :]))
+    outs = [_FakeRef(None) for _ in range(3)]
+    pallas_ec._ec_madd_kernel(L, p, npr, *refs, *outs)
+    got = [np.asarray(jax.device_get(o.arr)).T for o in outs]
+    # bit-exact: with Z2 in {0, one_mont}, mont-mul by Z2 is the limb
+    # identity, so madd computes the same limbs as the general add
     assert all(np.array_equal(a, b) for a, b in zip(want, got))
 
 
@@ -114,4 +146,25 @@ def test_mont_mul_rows_matches_device_field(cname, fieldsel):
         tuple(int(v) for v in df.nprime_limbs),
     )
     got = np.asarray(jax.device_get(jnp.stack(out, axis=0).T))
+    assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("cname,fieldsel", [("bn254", "fq"), ("bls12_381", "fq")])
+def test_mont_sqr_rows_matches_mul(cname, fieldsel):
+    from ckb_zkp_tpu.ops.pallas_field import _mont_sqr_rows
+
+    curve = get_curve(cname)
+    spec = getattr(curve, fieldsel)
+    df = device_field(spec)
+    rng = np.random.default_rng(11)
+    n = 64
+    xs = [int(x) % spec.modulus for x in rng.integers(0, 2**63, size=n) ** 2]
+    xs[0] = 0
+    xs[1] = spec.modulus - 1
+    A = df.encode(xs)
+    rows = [A.T[i] for i in range(df.L)]
+    p = tuple(int(v) for v in df.p_limbs)
+    npr = tuple(int(v) for v in df.nprime_limbs)
+    want = _unrows(_mont_mul_rows(rows, rows, p, npr))
+    got = _unrows(_mont_sqr_rows(rows, p, npr))
     assert np.array_equal(want, got)
