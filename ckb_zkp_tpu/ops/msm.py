@@ -256,30 +256,12 @@ class DeviceCurveGroup:
             d, jnp.arange(self.nb, dtype=jnp.int32), side="right"
         ).astype(jnp.int32)
         if self._affine_leaves:
-            from .pallas_ec import ec_madd_pallas
-
+            # gather X and Y separately: XLA's row gather is ~6x slower per
+            # byte on 128-byte rows than 64-byte rows (measured), so one
+            # fused (N, 2L) gather loses to two (N, L) gathers
             X, Y, infm = P
             leaves = (X[order], Y[order], infm[order])
-
-            def promote(lv):
-                x, y, m = lv
-                ones = self.cf.ones(m.shape)
-                z = jnp.where(m[..., None], 0, ones).astype(jnp.uint32)
-                return (x, y, z)
-
-            E = prefix_at_indices(
-                add,
-                leaves,
-                inf,
-                cnt - 1,
-                leaf_combine=lambda acc, lv: ec_madd_pallas(self.cf, acc, lv),
-                leaf_identity=(
-                    self.cf.zeros(),
-                    self.cf.zeros(),
-                    jnp.asarray(True),
-                ),
-                promote=promote,
-            )
+            E = self._prefix_boundary_leaf(leaves, cnt - 1)
         else:
             Ps = tuple(c[order] for c in P)
             E = prefix_at_indices(add, Ps, inf, cnt - 1)  # (nb,) E_b
@@ -293,6 +275,102 @@ class DeviceCurveGroup:
         t = jax.lax.fori_loop(0, self.c, dbl, e_last)
         acc = add(t, self.p_neg(e_last))
         return add(acc, self.p_neg(sum_e))
+
+    # ---- boundary-prefix machinery for affine-leaf MSM windows ----
+    # Structure mirrors scan_utils.prefix_at_indices, but the O(N) block
+    # totals run inside single pallas launches (ec_block_totals_*) instead
+    # of a lax.scan of B launches (~1 ms per step of launch overhead).
+    _SCAN_B = 32
+
+    def _promote_leaves(self, lv):
+        x, y, m = lv
+        ones = self.cf.ones(m.shape)
+        z = jnp.where(m[..., None], 0, ones).astype(jnp.uint32)
+        return (x, y, z)
+
+    def _within_block_partial(self, elems, gq, r, promote=None):
+        """Prefix of elems rows [gq*B .. gq*B+r] per query (hs over B)."""
+        B = self._SCAN_B
+        qn = gq.shape[0]
+        idxs = gq[:, None] * B + jnp.arange(B, dtype=jnp.int32)[None]
+        rows = jax.tree.map(lambda x: x[idxs], elems)  # (Q, B, ...)
+        flat = jax.tree.map(lambda x: x.reshape(qn * B, *x.shape[2:]), rows)
+        if promote is not None:
+            flat = promote(flat)
+        keep = (jnp.arange(B, dtype=jnp.int32)[None] <= r[:, None]).reshape(-1)
+        ident = self.p_identity()
+        identb = jax.tree.map(
+            lambda i: jnp.broadcast_to(i, (qn * B, *i.shape)), ident
+        )
+        masked = point_select(self.cf, keep, flat, identb)
+        resq = jax.tree.map(lambda x: x.reshape(qn, B, *x.shape[1:]), masked)
+        movq = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), resq)
+        return jax.tree.map(lambda x: x[-1], hs_scan(self.p_add, movq))
+
+    def _prefix_boundary_leaf(self, leaves, q):
+        """Inclusive prefix at each q over sorted affine leaves (q=-1 ->
+        identity); N must be a multiple of B*SCAN_SUBS*128 (MSM pads to a
+        power of two >= 2^15 before this path engages)."""
+        from .pallas_ec import SCAN_SUBS, ec_block_totals_madd, ec_madd_pallas
+
+        n = leaves[0].shape[0]
+        B = self._SCAN_B
+        if n % (B * SCAN_SUBS * 128) != 0:
+            return prefix_at_indices(
+                self.p_add,
+                leaves,
+                self.p_identity(),
+                q,
+                leaf_combine=lambda acc, lv: ec_madd_pallas(self.cf, acc, lv),
+                leaf_identity=(
+                    self.cf.zeros(),
+                    self.cf.zeros(),
+                    jnp.asarray(True),
+                ),
+                promote=self._promote_leaves,
+            )
+        totals = ec_block_totals_madd(self.cf, leaves, B)  # (n/B,) Jacobian
+        qc = jnp.maximum(q, 0)
+        gq, r = qc // B, qc % B
+        before = self._prefix_boundary_jac(totals, gq - 1)
+        part2 = self._within_block_partial(
+            leaves, gq, r, promote=self._promote_leaves
+        )
+        out = self.p_add(before, part2)
+        qn = q.shape[0]
+        identq = jax.tree.map(
+            lambda i: jnp.broadcast_to(i, (qn, *i.shape)), self.p_identity()
+        )
+        return point_select(self.cf, q >= 0, out, identq)
+
+    def _prefix_boundary_jac(self, pts, q):
+        """Jacobian-level recursion of _prefix_boundary_leaf."""
+        from .pallas_ec import SCAN_SUBS, ec_block_totals_add
+
+        n = pts[0].shape[0]
+        B = self._SCAN_B
+        qn = q.shape[0]
+        identq = jax.tree.map(
+            lambda i: jnp.broadcast_to(i, (qn, *i.shape)), self.p_identity()
+        )
+        qc = jnp.maximum(q, 0)
+        if n <= 2 * B * 128:
+            pref = hs_scan(self.p_add, pts)
+            out = jax.tree.map(lambda x: x[jnp.minimum(qc, n - 1)], pref)
+            return point_select(self.cf, q >= 0, out, identq)
+        blk = B * SCAN_SUBS * 128
+        if n % blk != 0:
+            npad = -(-n // blk) * blk
+            pad = self.p_identity((npad - n,))
+            pts = jax.tree.map(
+                lambda c, z: jnp.concatenate([c, z], axis=0), tuple(pts), pad
+            )
+        totals = ec_block_totals_add(self.cf, pts, B)
+        gq, r = qc // B, qc % B
+        before = self._prefix_boundary_jac(totals, gq - 1)
+        part2 = self._within_block_partial(pts, gq, r)
+        out = self.p_add(before, part2)
+        return point_select(self.cf, q >= 0, out, identq)
 
     def _msm_impl(self, P, scalars):
         """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical.

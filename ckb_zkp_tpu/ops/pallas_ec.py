@@ -25,6 +25,7 @@ for batches >= PALLAS_MIN_BATCH. (Reference counterpart: arkworks'
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,9 @@ from .pallas_field import (
     _sub_rows,
     to_tiles,
 )
+
+# interpret mode: lets CPU tests execute the kernels (slowly)
+_INTERPRET = os.environ.get("CKB_ZKP_TPU_PALLAS_INTERPRET", "0") not in ("", "0")
 
 EC_SUBS = 8  # sublanes per block: 1024 elements
 
@@ -77,9 +81,8 @@ def _rows(ref, L):
     return [ref[i] for i in range(L)]
 
 
-def _ec_add_kernel(L, p_limbs, np_limbs, x1r, y1r, z1r, x2r, y2r, z2r, oxr, oyr, ozr):
-    X1, Y1, Z1 = _rows(x1r, L), _rows(y1r, L), _rows(z1r, L)
-    X2, Y2, Z2 = _rows(x2r, L), _rows(y2r, L), _rows(z2r, L)
+def _add_core(X1, Y1, Z1, X2, Y2, Z2, p_limbs, np_limbs):
+    """Complete Jacobian + Jacobian on limb tiles (mirrors ops/ec.ec_add)."""
     mul, sqr, add, sub = _ops(p_limbs, np_limbs)
 
     Z1Z1 = sqr(Z1)
@@ -114,20 +117,23 @@ def _ec_add_kernel(L, p_limbs, np_limbs, x1r, y1r, z1r, x2r, y2r, z2r, oxr, oyr,
     X3 = _select_rows(p_inf, X2, X3)
     Y3 = _select_rows(p_inf, Y2, Y3)
     Z3 = _select_rows(p_inf, Z2, Z3)
+    return X3, Y3, Z3
 
+
+def _ec_add_kernel(L, p_limbs, np_limbs, x1r, y1r, z1r, x2r, y2r, z2r, oxr, oyr, ozr):
+    X3, Y3, Z3 = _add_core(
+        _rows(x1r, L), _rows(y1r, L), _rows(z1r, L),
+        _rows(x2r, L), _rows(y2r, L), _rows(z2r, L),
+        p_limbs, np_limbs,
+    )
     oxr[:] = jnp.stack(X3, axis=0)
     oyr[:] = jnp.stack(Y3, axis=0)
     ozr[:] = jnp.stack(Z3, axis=0)
 
 
-def _ec_madd_kernel(
-    L, p_limbs, np_limbs, x1r, y1r, z1r, x2r, y2r, inf2r, oxr, oyr, ozr
-):
-    """P (Jacobian) + Q (affine, inf flag tile). Mirrors ec_add bit-for-bit
+def _madd_core(X1, Y1, Z1, X2, Y2, q_inf, p_limbs, np_limbs):
+    """P (Jacobian) + Q (affine, inf mask). Mirrors ec_add bit-for-bit
     for Q with Z2 in {0, 1}."""
-    X1, Y1, Z1 = _rows(x1r, L), _rows(y1r, L), _rows(z1r, L)
-    X2, Y2 = _rows(x2r, L), _rows(y2r, L)
-    q_inf = inf2r[0] != 0
     mul, sqr, add, sub = _ops(p_limbs, np_limbs)
 
     Z1Z1 = sqr(Z1)
@@ -164,7 +170,17 @@ def _ec_madd_kernel(
     X3 = _select_rows(p_inf, X2, X3)
     Y3 = _select_rows(p_inf, Y2, Y3)
     Z3 = _select_rows(p_inf, z2_rows, Z3)
+    return X3, Y3, Z3
 
+
+def _ec_madd_kernel(
+    L, p_limbs, np_limbs, x1r, y1r, z1r, x2r, y2r, inf2r, oxr, oyr, ozr
+):
+    X3, Y3, Z3 = _madd_core(
+        _rows(x1r, L), _rows(y1r, L), _rows(z1r, L),
+        _rows(x2r, L), _rows(y2r, L), inf2r[0] != 0,
+        p_limbs, np_limbs,
+    )
     oxr[:] = jnp.stack(X3, axis=0)
     oyr[:] = jnp.stack(Y3, axis=0)
     ozr[:] = jnp.stack(Z3, axis=0)
@@ -203,6 +219,7 @@ def _ec_add_fn(L: int, sb: int, p_limbs: tuple, np_limbs: tuple):
             grid=(x1.shape[1] // sb,),
             in_specs=[spec] * 6,
             out_specs=(spec, spec, spec),
+            interpret=_INTERPRET,
         )(x1, y1, z1, x2, y2, z2)
 
     return run
@@ -222,6 +239,7 @@ def _ec_madd_fn(L: int, sb: int, p_limbs: tuple, np_limbs: tuple):
             grid=(x1.shape[1] // sb,),
             in_specs=[spec] * 5 + [_flag_spec(sb)],
             out_specs=(spec, spec, spec),
+            interpret=_INTERPRET,
         )(x1, y1, z1, x2, y2, inf2)
 
     return run
@@ -293,3 +311,161 @@ def ec_madd_pallas(df, p, q_affine):
     return tuple(
         c.reshape(L, -1).T[:n].reshape(*shape, L) for c in (ox, oy, oz)
     )
+
+
+# ---------------------------------------------------------------- block scan
+# MSM bucket accumulation spends O(N) adds computing block totals; as a
+# lax.scan of B pallas launches, per-step overhead (~1 ms) dominates kernel
+# compute (~0.35 ms at batch 32k). These kernels move the whole sequential
+# scan INSIDE one pallas_call: grid over group tiles, fori_loop over the B
+# block elements with the accumulator carried in registers — one launch,
+# points read once, zero intermediate HBM traffic.
+SCAN_SUBS = 8  # groups per block = SCAN_SUBS * 128
+
+
+def _scan_madd_kernel(L, B, p_limbs, np_limbs, xr, yr, fr_, oxr, oyr, ozr):
+    """xr/yr: (B, L, SB, 128) affine leaves; fr_: (B, SB, 128) inf flags.
+    Outputs: block totals (L, SB, 128) x3 (Jacobian)."""
+    one = _one_mont(p_limbs, np_limbs)
+    tile = xr[0, 0]
+    acc0 = (
+        [jnp.full_like(tile, int(v)) for v in one],
+        [jnp.full_like(tile, int(v)) for v in one],
+        [jnp.zeros_like(tile) for _ in range(L)],
+    )
+
+    def body(b, acc):
+        X1, Y1, Z1 = acc
+        X2 = [xr[b, i] for i in range(L)]
+        Y2 = [yr[b, i] for i in range(L)]
+        return _madd_core(X1, Y1, Z1, X2, Y2, fr_[b] != 0, p_limbs, np_limbs)
+
+    X3, Y3, Z3 = jax.lax.fori_loop(0, B, body, acc0)
+    oxr[:] = jnp.stack(X3, axis=0)
+    oyr[:] = jnp.stack(Y3, axis=0)
+    ozr[:] = jnp.stack(Z3, axis=0)
+
+
+def _scan_add_kernel(L, B, p_limbs, np_limbs, xr, yr, zr, oxr, oyr, ozr):
+    """Jacobian variant: xr/yr/zr (B, L, SB, 128) -> block totals."""
+    one = _one_mont(p_limbs, np_limbs)
+    tile = xr[0, 0]
+    acc0 = (
+        [jnp.full_like(tile, int(v)) for v in one],
+        [jnp.full_like(tile, int(v)) for v in one],
+        [jnp.zeros_like(tile) for _ in range(L)],
+    )
+
+    def body(b, acc):
+        X1, Y1, Z1 = acc
+        X2 = [xr[b, i] for i in range(L)]
+        Y2 = [yr[b, i] for i in range(L)]
+        Z2 = [zr[b, i] for i in range(L)]
+        return _add_core(X1, Y1, Z1, X2, Y2, Z2, p_limbs, np_limbs)
+
+    X3, Y3, Z3 = jax.lax.fori_loop(0, B, body, acc0)
+    oxr[:] = jnp.stack(X3, axis=0)
+    oyr[:] = jnp.stack(Y3, axis=0)
+    ozr[:] = jnp.stack(Z3, axis=0)
+
+
+def _scan_spec(B, L, sb):
+    return pl.BlockSpec(
+        (B, L, sb, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _scan_flag_spec(B, sb):
+    return pl.BlockSpec(
+        (B, sb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_madd_fn(L: int, B: int, sb: int, p_limbs: tuple, np_limbs: tuple):
+    kern = functools.partial(_scan_madd_kernel, L, B, p_limbs, np_limbs)
+
+    @jax.jit
+    def run(xb, yb, fb):  # (B, L, G/128, 128) x2, (B, G/128, 128)
+        g128 = xb.shape[2]
+        ospec = _spec(L, sb)
+        shp = jax.ShapeDtypeStruct((L, g128, LANES), jnp.uint32)
+        return pl.pallas_call(
+            kern,
+            out_shape=(shp, shp, shp),
+            grid=(g128 // sb,),
+            in_specs=[_scan_spec(B, L, sb)] * 2 + [_scan_flag_spec(B, sb)],
+            out_specs=(ospec, ospec, ospec),
+            interpret=_INTERPRET,
+        )(xb, yb, fb)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_add_fn(L: int, B: int, sb: int, p_limbs: tuple, np_limbs: tuple):
+    kern = functools.partial(_scan_add_kernel, L, B, p_limbs, np_limbs)
+
+    @jax.jit
+    def run(xb, yb, zb):
+        g128 = xb.shape[2]
+        ospec = _spec(L, sb)
+        shp = jax.ShapeDtypeStruct((L, g128, LANES), jnp.uint32)
+        return pl.pallas_call(
+            kern,
+            out_shape=(shp, shp, shp),
+            grid=(g128 // sb,),
+            in_specs=[_scan_spec(B, L, sb)] * 3,
+            out_specs=(ospec, ospec, ospec),
+            interpret=_INTERPRET,
+        )(xb, yb, zb)
+
+    return run
+
+
+def _to_scan_tiles(df, c, G, B):
+    """(N, L) with N = G*B, elements in sorted order -> (B, L, G/128, 128):
+    step b of the in-kernel scan sees element g*B + b in lane-slot g."""
+    L = df.L
+    return c.reshape(G, B, L).transpose(1, 2, 0).reshape(B, L, G // LANES, LANES)
+
+
+def ec_block_totals_madd(df, leaves, B: int):
+    """Affine leaves (X, Y, inf) with leading axis N = G*B -> (G,) Jacobian
+    block totals. Requires G % (SCAN_SUBS*128) == 0."""
+    X, Y, inf = leaves
+    L = df.L
+    N = X.shape[0]
+    G = N // B
+    xb = _to_scan_tiles(df, X, G, B)
+    yb = _to_scan_tiles(df, Y, G, B)
+    fb = (
+        inf.astype(jnp.uint32)
+        .reshape(G, B)
+        .T.reshape(B, G // LANES, LANES)
+    )
+    fn = _scan_madd_fn(
+        L, B, SCAN_SUBS,
+        tuple(int(x) for x in df.p_limbs),
+        tuple(int(x) for x in df.nprime_limbs),
+    )
+    ox, oy, oz = fn(xb, yb, fb)
+    return tuple(c.reshape(L, G).T for c in (ox, oy, oz))
+
+
+def ec_block_totals_add(df, points, B: int):
+    """Jacobian points (X, Y, Z) with leading axis N = G*B -> (G,) totals."""
+    X, Y, Z = points
+    L = df.L
+    N = X.shape[0]
+    G = N // B
+    xb = _to_scan_tiles(df, X, G, B)
+    yb = _to_scan_tiles(df, Y, G, B)
+    zb = _to_scan_tiles(df, Z, G, B)
+    fn = _scan_add_fn(
+        L, B, SCAN_SUBS,
+        tuple(int(x) for x in df.p_limbs),
+        tuple(int(x) for x in df.nprime_limbs),
+    )
+    ox, oy, oz = fn(xb, yb, zb)
+    return tuple(c.reshape(L, G).T for c in (ox, oy, oz))

@@ -31,11 +31,15 @@ here on TPU backends for batches >= PALLAS_MIN_BATCH.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# interpret mode: lets CPU tests execute the kernels (slowly)
+_INTERPRET = os.environ.get("CKB_ZKP_TPU_PALLAS_INTERPRET", "0") not in ("", "0")
 
 MASK = (1 << 16) - 1
 LANES = 128
@@ -226,6 +230,7 @@ def _mul_fn(L: int, sb: int, p_limbs: tuple, np_limbs: tuple):
             grid=(a.shape[1] // sb,),
             in_specs=[spec, spec],
             out_specs=spec,
+            interpret=_INTERPRET,
         )(a, b)
 
     return run

@@ -56,13 +56,15 @@ def create_proof_from_shape(
         qap = QapMatrices(shape, curve.fr)
     assert qap.m == params.domain_size, "circuit does not match parameters"
 
-    from ...utils import stage
+    from ...utils import stage, stage_sync
 
     z = shape.full_assignment()
     with stage("groth16/encode_witness"):
         z_mont = fr.encode(z)
-    with stage("groth16/qap_witness_map", sync=None):
+        stage_sync(z_mont)
+    with stage("groth16/qap_witness_map"):
         h = qap.witness_map(z_mont)  # (m-1, L) mont
+        stage_sync(h)
 
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")

@@ -18,10 +18,32 @@ TRACE = os.environ.get("CKB_ZKP_TPU_TRACE", "") not in ("", "0")
 _XPROF_DIR = os.environ.get("CKB_ZKP_TPU_XPROF", "")
 
 
+def device_sync(out) -> None:
+    """Real execution barrier: fetch one element of each array leaf.
+
+    `jax.block_until_ready` only acks dispatch on the axon TPU-tunnel
+    platform; a transfer is the one reliable way to wait for completion.
+    """
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def stage_sync(out) -> None:
+    """Sync a stage's device outputs, but only when tracing — so traced runs
+    attribute device time to the right stage while untraced runs keep full
+    async pipelining."""
+    if TRACE:
+        device_sync(out)
+
+
 @contextlib.contextmanager
 def stage(name: str, sync=None):
-    """Time a pipeline stage. `sync` (optional) is a value/pytree passed to
-    jax.block_until_ready before stopping the clock so device work counts."""
+    """Time a pipeline stage. `sync` (optional) is a value/pytree synced via
+    device_sync before stopping the clock so device work counts."""
     if not TRACE:
         yield
         return
@@ -30,9 +52,7 @@ def stage(name: str, sync=None):
         yield
     finally:
         if sync is not None:
-            import jax
-
-            jax.block_until_ready(sync)
+            device_sync(sync)
         print(f"[ckb-zkp-tpu] {name}: {time.time() - t0:.3f}s", file=sys.stderr)
 
 
