@@ -118,12 +118,20 @@ def ec_double(cf, p):
 
 
 def _pallas_ec_batch(cf, p, q) -> int:
-    if not isinstance(cf, DeviceField) or not getattr(cf, "use_pallas", False):
+    if isinstance(cf, DeviceField):
+        if not getattr(cf, "use_pallas", False):
+            return 0
+        ndrop = 1
+    elif isinstance(cf, DeviceFq2):
+        if not getattr(cf.df, "use_pallas", False):
+            return 0
+        ndrop = 2
+    else:
         return 0
     import math
 
     shape = jnp.broadcast_shapes(
-        *(c.shape[:-1] for c in p), *(c.shape[:-1] for c in q)
+        *(c.shape[:-ndrop] for c in p), *(c.shape[:-ndrop] for c in q)
     )
     return math.prod(shape)
 

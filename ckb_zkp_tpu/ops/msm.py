@@ -52,9 +52,9 @@ from .scan_utils import (
 class DeviceCurveGroup:
     """Device-side view of one curve group (G1 over Fq, or G2 over Fq2)."""
 
-    # True only where the fused mixed-add kernel applies (G1 short-
-    # Weierstrass over a DeviceField on TPU); subclasses with other point
-    # representations (extended Edwards) inherit False.
+    # True only where the fused mixed-add kernel applies (short-Weierstrass
+    # G1/G2 over Fq/Fq2 on TPU); subclasses with other point representations
+    # (extended Edwards) inherit False.
     _affine_leaves = False
 
     def __init__(self, curve: PairingCurve, group: str, window_bits: int = 16):
@@ -69,12 +69,12 @@ class DeviceCurveGroup:
         if group == "g1":
             self.cf = self.fq
             self.host_group = curve.g1
-            self._affine_leaves = self.fq.use_pallas
         elif group == "g2":
             self.cf = DeviceFq2(self.fq)
             self.host_group = curve.g2
         else:
             raise ValueError(group)
+        self._affine_leaves = self.fq.use_pallas
         self.nwindows = self.fr.L * BASE_BITS // self.c
         # below this size on CPU, MSMs run on host ints (avoids piling up
         # XLA compiles for every tiny protocol-layer MSM); the device path
@@ -86,6 +86,22 @@ class DeviceCurveGroup:
         self._msm_jit = jax.jit(self._msm_impl)
         self._fixed_base_jit = jax.jit(self._fixed_base_impl)
         self._table = jax.jit(self._table_impl)
+        self._normalize_jit = jax.jit(self._normalize)
+
+    def _normalize(self, P):
+        """Jacobian -> affine-encoded Jacobian (Z in {0, 1}).
+
+        The variable-base MSM's affine-leaf fast path requires Z in
+        {0, one}; fixed-base MSM outputs (setup query/SRS arrays, the main
+        producers of long-lived MSM inputs) are general-Z, so they get batch
+        normalized exactly like the reference's setup does (arkworks
+        `batch_normalization`, /root/reference/groth16/src/generator.rs:270).
+        """
+        x, y, inf = to_affine(self.cf, P)
+        ones = self.cf.ones(inf.shape)
+        mask = inf[..., None] if self.group == "g1" else inf[..., None, None]
+        z = jnp.where(mask, 0, ones).astype(jnp.uint32)
+        return (x, y, z)
 
     # ------------- pluggable point ops (overridden by Edwards backends) ----
     def p_add(self, a, b):
@@ -285,7 +301,8 @@ class DeviceCurveGroup:
     def _promote_leaves(self, lv):
         x, y, m = lv
         ones = self.cf.ones(m.shape)
-        z = jnp.where(m[..., None], 0, ones).astype(jnp.uint32)
+        mask = m.reshape(m.shape + (1,) * (ones.ndim - m.ndim))
+        z = jnp.where(mask, 0, ones).astype(jnp.uint32)
         return (x, y, z)
 
     def _within_block_partial(self, elems, gq, r, promote=None):
@@ -470,6 +487,8 @@ class DeviceCurveGroup:
             out = jax.tree.map(lambda *cs: jnp.concatenate(cs, axis=0), *parts)
         else:
             out = self._fixed_base_jit(table, scalars)
+        # affine-encode: downstream variable-base MSMs assume Z in {0, 1}
+        out = self._normalize_jit(out)
         return jax.tree.map(lambda c: c[:n], out)
 
     def fixed_base_table(self, base_affine: AffinePoint):

@@ -52,6 +52,9 @@ class DeviceRistrettoGroup(DeviceCurveGroup):
         self._msm_jit = jax.jit(self._msm_impl)
         self._fixed_base_jit = jax.jit(self._fixed_base_impl)
         self._table = jax.jit(self._table_impl)
+        # Edwards MSM has no affine-leaf fast path (_affine_leaves is False),
+        # so fixed-base outputs need no normalization
+        self._normalize_jit = lambda P: P
 
     # ------------- point ops (twisted Edwards, a = -1) -------------
     def p_add(self, a, b):

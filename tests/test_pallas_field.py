@@ -84,10 +84,10 @@ def test_ec_add_kernel_math_matches_xla():
 
     p = tuple(int(v) for v in fq.p_limbs)
     npr = tuple(int(v) for v in fq.nprime_limbs)
-    L = fq.L
+    F = pallas_ec._F(1, p, npr)
     refs = [_FakeRef(jnp.asarray(c).T) for c in (*P, *Q)]  # (L, N) rows
     outs = [_FakeRef(None) for _ in range(3)]
-    pallas_ec._ec_add_kernel(L, p, npr, *refs, *outs)
+    pallas_ec._ec_add_kernel(F, *refs, *outs)
     got = [np.asarray(jax.device_get(o.arr)).T for o in outs]
     assert all(np.array_equal(a, b) for a, b in zip(want, got))
 
@@ -107,12 +107,12 @@ def test_ec_madd_kernel_math_matches_xla():
 
     p = tuple(int(v) for v in fq.p_limbs)
     npr = tuple(int(v) for v in fq.nprime_limbs)
-    L = fq.L
+    F = pallas_ec._F(1, p, npr)
     inf2 = np.array([q.infinity for q in qts], dtype=np.uint32)
     refs = [_FakeRef(jnp.asarray(c).T) for c in (*P, Q[0], Q[1])]
     refs.append(_FakeRef(jnp.asarray(inf2)[None, :]))
     outs = [_FakeRef(None) for _ in range(3)]
-    pallas_ec._ec_madd_kernel(L, p, npr, *refs, *outs)
+    pallas_ec._ec_madd_kernel(F, *refs, *outs)
     got = [np.asarray(jax.device_get(o.arr)).T for o in outs]
     # bit-exact: with Z2 in {0, one_mont}, mont-mul by Z2 is the limb
     # identity, so madd computes the same limbs as the general add
@@ -168,3 +168,72 @@ def test_mont_sqr_rows_matches_mul(cname, fieldsel):
     want = _unrows(_mont_mul_rows(rows, rows, p, npr))
     got = _unrows(_mont_sqr_rows(rows, p, npr))
     assert np.array_equal(want, got)
+
+
+def _g2_fixture_points(curve):
+    host = curve.g2
+    g = curve.g2_gen
+    pts = [host.mul(g, k) for k in (1, 5, 9, 12)] + [host.infinity, host.infinity]
+    qts = [host.mul(g, k) for k in (3, 5, 9, 12)] + [host.mul(g, 2), host.infinity]
+    qts[1] = pts[1]
+    qts[2] = host.neg(pts[2])
+    return pts, qts
+
+
+def test_ec_add_kernel_g2_matches_xla():
+    """The Fq2 kernel core (ext=2, flat c0|c1 rows) vs ops/ec.ec_add."""
+    from ckb_zkp_tpu.ops import ec, pallas_ec
+    from ckb_zkp_tpu.ops.msm import device_group
+
+    curve = get_curve("bn254")
+    fq = device_field(curve.fq)
+    fq2 = ec.DeviceFq2(fq)
+    dg = device_group(curve, "g2")
+    pts, qts = _g2_fixture_points(curve)
+    P = dg.encode_points(pts)
+    Q = dg.encode_points(qts)
+    want = jax.device_get(ec.ec_add(fq2, P, Q))
+
+    p = tuple(int(v) for v in fq.p_limbs)
+    npr = tuple(int(v) for v in fq.nprime_limbs)
+    F = pallas_ec._F(2, p, npr)
+    n = len(pts)
+    flat = [jnp.asarray(c).reshape(n, 2 * fq.L).T for c in (*P, *Q)]  # (2L, N)
+    refs = [_FakeRef(c) for c in flat]
+    outs = [_FakeRef(None) for _ in range(3)]
+    pallas_ec._ec_add_kernel(F, *refs, *outs)
+    got = [
+        np.asarray(jax.device_get(o.arr)).T.reshape(n, 2, fq.L) for o in outs
+    ]
+    assert all(np.array_equal(a, b) for a, b in zip(want, got))
+
+
+def test_ec_madd_kernel_g2_matches_xla():
+    from ckb_zkp_tpu.ops import ec, pallas_ec
+    from ckb_zkp_tpu.ops.msm import device_group
+
+    curve = get_curve("bn254")
+    fq = device_field(curve.fq)
+    fq2 = ec.DeviceFq2(fq)
+    dg = device_group(curve, "g2")
+    pts, qts = _g2_fixture_points(curve)
+    P = dg.encode_points(pts)
+    Q = dg.encode_points(qts)
+    want = jax.device_get(ec.ec_add(fq2, P, Q))
+
+    p = tuple(int(v) for v in fq.p_limbs)
+    npr = tuple(int(v) for v in fq.nprime_limbs)
+    F = pallas_ec._F(2, p, npr)
+    n = len(pts)
+    inf2 = np.array([q.infinity for q in qts], dtype=np.uint32)
+    flat = [
+        jnp.asarray(c).reshape(n, 2 * fq.L).T for c in (*P, Q[0], Q[1])
+    ]
+    refs = [_FakeRef(c) for c in flat]
+    refs.append(_FakeRef(jnp.asarray(inf2)[None, :]))
+    outs = [_FakeRef(None) for _ in range(3)]
+    pallas_ec._ec_madd_kernel(F, *refs, *outs)
+    got = [
+        np.asarray(jax.device_get(o.arr)).T.reshape(n, 2, fq.L) for o in outs
+    ]
+    assert all(np.array_equal(a, b) for a, b in zip(want, got))
