@@ -2,20 +2,54 @@
 """Framework benchmark — prints ONE JSON line for the driver.
 
 Headline metric: Groth16 (BN254) prove wall-clock for a 2^K-constraint R1CS
-on the available accelerator (K = $BENCH_LOG2, default 16 this round).
+on the available accelerator (K = $BENCH_LOG2, default 16).
 
 `vs_baseline` is measured_speedup vs an *estimated* single-host wall-clock of
 the reference Rust prover (arkworks + rayon): ~15 s at 2^20 constraints on a
 typical 16-core host, scaled linearly in N (the reference publishes no prover
 numbers — BASELINE.md). Reported as baseline_seconds / our_seconds.
 
-Sub-metrics (MSM points/sec, NTT time) are included under "extra".
+Robustness: a SIGALRM watchdog ($BENCH_BUDGET_S, default 1500 s) guarantees
+the JSON line is emitted even if a stage hangs or compiles run long — the
+round-1 driver run timed out before printing anything (BENCH_r01.json rc=124).
+Optional sub-metrics (MSM rate, NTT time) only run if enough budget remains.
 """
 
 import json
 import os
+import signal
 import sys
 import time
+
+START = time.time()
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+# partial results, filled in as stages complete; emitted by the watchdog
+STATE: dict = {"metric": "groth16_prove_bn254", "value": None, "unit": "ms",
+               "vs_baseline": None, "extra": {"stage": "init"}}
+
+
+def emit_and_exit(code: int = 0) -> None:
+    print(json.dumps(STATE))
+    sys.stdout.flush()
+    os._exit(code)
+
+
+def _on_alarm(signum, frame):
+    STATE["extra"]["timed_out_at_stage"] = STATE["extra"].get("stage")
+    if STATE["value"] is None:
+        # no headline number: report elapsed budget as the (failed) value
+        STATE["value"] = round((time.time() - START) * 1000.0, 1)
+        STATE["extra"]["incomplete"] = True
+    emit_and_exit(0)
+
+
+signal.signal(signal.SIGALRM, _on_alarm)
+signal.alarm(max(30, int(BUDGET)))
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - START)
 
 
 def sync(out) -> None:
@@ -33,13 +67,19 @@ def sync(out) -> None:
 def main() -> None:
     k = int(os.environ.get("BENCH_LOG2", "16"))
     n = 1 << k
+    STATE["metric"] = f"groth16_prove_bn254_2^{k}"
+    STATE["extra"]["constraints"] = n
+    baseline_s = 15.0 * n / (1 << 20)  # estimated rust reference (docstring)
+    STATE["extra"]["baseline_estimate_s"] = baseline_s
 
+    STATE["extra"]["stage"] = "import_jax"
     import jax
+
+    STATE["extra"]["backend"] = jax.default_backend()
 
     from ckb_zkp_tpu.bench_circuits import product_circuit_shape
     from ckb_zkp_tpu.host.pairing import get_curve
     from ckb_zkp_tpu.ops.field import device_field
-    from ckb_zkp_tpu.ops.msm import device_group
     from ckb_zkp_tpu.schemes import groth16
     from ckb_zkp_tpu.schemes.groth16.prover import create_proof_from_shape
     from ckb_zkp_tpu.schemes.groth16.qap import QapMatrices
@@ -47,71 +87,78 @@ def main() -> None:
     curve = get_curve("bn254")
     p = curve.fr.modulus
     fr = device_field(curve.fr)
-    backend = jax.default_backend()
 
     shape = product_circuit_shape(n, p)
+    STATE["extra"]["stage"] = "setup"
     t0 = time.time()
     params = groth16.generate_parameters_from_shape(
         shape, curve, alpha=5, beta=7, gamma=11, delta=13, t=0xABCDEF0123456789
     )
     sync(params.a_query)
-    setup_s = time.time() - t0
+    STATE["extra"]["setup_s"] = round(time.time() - t0, 3)
 
     qap = QapMatrices(shape, curve.fr)
-    # warmup (compiles)
+    STATE["extra"]["stage"] = "prove_warmup"
     t0 = time.time()
     proof = create_proof_from_shape(params, shape, 0, 0, qap=qap)
-    warm_s = time.time() - t0
-    # timed run
+    STATE["extra"]["prove_warm_s"] = round(time.time() - t0, 3)
+    STATE["extra"]["stage"] = "prove"
     t0 = time.time()
     proof = create_proof_from_shape(params, shape, 0, 0, qap=qap)
     prove_s = time.time() - t0
 
+    # headline number is in — from here on, every later stage is optional
+    STATE["value"] = round(prove_s * 1000.0, 3)
+    STATE["vs_baseline"] = round(baseline_s / prove_s, 3)
+
+    STATE["extra"]["stage"] = "verify"
     pvk = groth16.prepare_verifying_key(curve, params.vk)
     t0 = time.time()
     ok = groth16.verify_proof(curve, pvk, proof, shape.input_assignment[1:])
-    verify_s = time.time() - t0
+    STATE["extra"]["verify_s"] = round(time.time() - t0, 3)
+    STATE["extra"]["verify_ok"] = bool(ok)
+    if not ok:
+        STATE["vs_baseline"] = 0.0  # a wrong proof scores nothing
 
-    # MSM sub-benchmark: G1 MSM over the a_query points
-    dg1 = device_group(curve, "g1")
-    z_can = fr.from_mont(fr.encode(shape.full_assignment()))
-    sync(dg1.msm(params.a_query, z_can))
-    t0 = time.time()
-    sync(dg1.msm(params.a_query, z_can))
-    msm_s = time.time() - t0
-    npoints = z_can.shape[0]
+    if remaining() > 120:
+        STATE["extra"]["stage"] = "msm_sub"
+        from ckb_zkp_tpu.ops.msm import device_group
 
-    # NTT sub-benchmark
-    from ckb_zkp_tpu.ops.ntt import get_domain
+        dg1 = device_group(curve, "g1")
+        z_can = fr.from_mont(fr.encode(shape.full_assignment()))
+        sync(dg1.msm(params.a_query, z_can))
+        t0 = time.time()
+        sync(dg1.msm(params.a_query, z_can))
+        msm_s = time.time() - t0
+        npoints = z_can.shape[0]
+        STATE["extra"]["msm_points_per_s"] = round(npoints / msm_s, 1)
+        STATE["extra"]["msm_n"] = npoints
 
-    dom = get_domain(curve.fr, qap.m)
-    x = fr.encode([3] * qap.m)
-    sync(dom.ntt(x))
-    t0 = time.time()
-    sync(dom.ntt(x))
-    ntt_s = time.time() - t0
+    if remaining() > 120:
+        STATE["extra"]["stage"] = "ntt_sub"
+        from ckb_zkp_tpu.ops.ntt import get_domain
 
-    baseline_s = 15.0 * n / (1 << 20)  # estimated rust reference (see docstring)
-    result = {
-        "metric": f"groth16_prove_bn254_2^{k}",
-        "value": round(prove_s * 1000.0, 3),
-        "unit": "ms",
-        "vs_baseline": round(baseline_s / prove_s, 3),
-        "extra": {
-            "backend": backend,
-            "verify_ok": bool(ok),
-            "constraints": n,
-            "setup_s": round(setup_s, 3),
-            "prove_warm_s": round(warm_s, 3),
-            "verify_s": round(verify_s, 3),
-            "msm_points_per_s": round(npoints / msm_s, 1),
-            "msm_n": npoints,
-            f"ntt_2^{qap.m.bit_length()-1}_ms": round(ntt_s * 1000.0, 3),
-            "baseline_estimate_s": baseline_s,
-        },
-    }
-    print(json.dumps(result))
+        dom = get_domain(curve.fr, qap.m)
+        x = fr.encode([3] * qap.m)
+        sync(dom.ntt(x))
+        t0 = time.time()
+        sync(dom.ntt(x))
+        STATE["extra"][f"ntt_2^{qap.m.bit_length()-1}_ms"] = round(
+            (time.time() - t0) * 1000.0, 3
+        )
+
+    STATE["extra"]["stage"] = "done"
+    STATE["extra"]["total_s"] = round(time.time() - START, 1)
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the JSON line must still go out
+        STATE["extra"]["error"] = f"{type(e).__name__}: {e}"[:500]
+        STATE["extra"]["failed_at_stage"] = STATE["extra"].get("stage")
+        if STATE["value"] is None:
+            STATE["value"] = round((time.time() - START) * 1000.0, 1)
+            STATE["extra"]["incomplete"] = True
+        emit_and_exit(1)

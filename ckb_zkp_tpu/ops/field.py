@@ -264,9 +264,24 @@ class DeviceField:
         )
 
     # ------------- host <-> device -------------
+    # Below this batch size, Montgomery conversion happens in host Python
+    # ints (no device compute): tiny protocol-layer conversions otherwise
+    # cost one XLA compile per shape — minutes each on the TPU tunnel.
+    HOST_CONVERT_MAX = 4096
+
     def encode(self, ints) -> jnp.ndarray:
-        """List/iterable of Python ints -> (N, L) Montgomery-form device array."""
-        raw = jnp.asarray(ints_to_limbs([x % self.spec.modulus for x in ints], self.L))
+        """List/iterable of Python ints -> (N, L) Montgomery-form limb array.
+
+        Small batches are converted entirely on host and returned as numpy
+        (JAX ops accept numpy operands; the transfer happens lazily at the
+        consuming dispatch). Returning a jnp array here would force an eager
+        device round-trip — on the TPU tunnel even a copy is a remote
+        compile costing minutes."""
+        p = self.spec.modulus
+        vals = [x % p for x in ints]
+        if len(vals) <= self.HOST_CONVERT_MAX:
+            return ints_to_limbs([v * self.R % p for v in vals], self.L)
+        raw = jnp.asarray(ints_to_limbs(vals, self.L))
         return self.to_mont(raw)
 
     def encode_scalar(self, x: int) -> jnp.ndarray:
@@ -274,6 +289,12 @@ class DeviceField:
 
     def decode(self, a: jnp.ndarray) -> list[int]:
         """(..., L) Montgomery-form -> canonical Python ints."""
+        p = self.spec.modulus
+        n = math.prod(a.shape[:-1])
+        if n <= self.HOST_CONVERT_MAX:
+            rinv = pow(self.R, -1, p)
+            raw = limbs_to_ints(np.asarray(jax.device_get(a)))
+            return [x * rinv % p for x in raw]
         return limbs_to_ints(np.asarray(jax.device_get(self.from_mont(a))))
 
     def decode_scalar(self, a: jnp.ndarray) -> int:

@@ -17,9 +17,12 @@ from .ntt import get_domain
 
 
 class HDomain:
-    # below this size on a CPU backend, transforms run as host recursive NTT
-    # (avoids per-size XLA compiles in protocol-layer tests)
+    # below these sizes, transforms run as host recursive NTT (avoids
+    # per-size XLA compiles). The cutoff is much higher on non-CPU backends:
+    # each compile goes through the TPU tunnel's remote compiler and costs
+    # minutes, dwarfing any device speedup at these sizes.
     HOST_SIZE = 256
+    HOST_SIZE_TUNNEL = 4096
 
     def __init__(self, spec: FieldSpec, num_coeffs: int):
         import jax
@@ -31,9 +34,12 @@ class HDomain:
         self.size = n
         self.p = spec.modulus
         self._df = device_field(spec)
-        self._host_mode = (
-            jax.default_backend() == "cpu" and n <= self.HOST_SIZE
-        ) or n == 1
+        host_max = (
+            self.HOST_SIZE
+            if jax.default_backend() == "cpu"
+            else self.HOST_SIZE_TUNNEL
+        )
+        self._host_mode = n <= host_max or n == 1
         self._dom = None if self._host_mode else get_domain(spec, n)
         self.omega = (
             spec.root_of_unity(n) if self._host_mode else self._dom.omega

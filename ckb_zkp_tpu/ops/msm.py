@@ -76,10 +76,14 @@ class DeviceCurveGroup:
             raise ValueError(group)
         self._affine_leaves = self.fq.use_pallas
         self.nwindows = self.fr.L * BASE_BITS // self.c
-        # below this size on CPU, MSMs run on host ints (avoids piling up
-        # XLA compiles for every tiny protocol-layer MSM); the device path
-        # always serves TPU and large batches
-        self.small_host_threshold = 512 if jax.default_backend() == "cpu" else 0
+        # below this size, MSMs run on host ints: tiny protocol-layer MSMs
+        # would otherwise pile up one XLA compile per shape. On the TPU
+        # tunnel every compile costs minutes (a 10-constraint CLI circuit
+        # timed out entirely on device), so the cutoff is higher there; the
+        # device path serves all large batches
+        self.small_host_threshold = (
+            512 if jax.default_backend() == "cpu" else 4096
+        )
         # chunk size for fixed-base batches (full-width EC adds materialize
         # (N, L, L) mul temporaries — G2 at 2^18 OOMs HBM unchunked)
         self._fb_chunk = (1 << 15) if group == "g1" else (1 << 14)
@@ -124,17 +128,21 @@ class DeviceCurveGroup:
         return self.fq.encode(flat).reshape(len(coords), 2, self.fq.L)
 
     def encode_points(self, pts: list[AffinePoint]):
-        """Affine host points -> Jacobian device arrays (Z=1, or Z=0 for inf)."""
+        """Affine host points -> Jacobian limb arrays (Z=1, or Z=0 for inf).
+
+        Z is built in numpy (no eager device ops — see encode_scalars); the
+        coordinate arrays are numpy for small batches, device for large."""
         xs = self._coord_encode([p.x for p in pts])
         ys = self._coord_encode([p.y for p in pts])
         n = len(pts)
-        shape = (n,)
-        Z = self.cf.ones(shape)
-        inf = jnp.asarray(np.array([p.infinity for p in pts], dtype=bool))
+        one = np.asarray(self.fq.r_limbs, dtype=np.uint32)  # 1 in Montgomery
         if self.group == "g1":
-            Z = jnp.where(inf[:, None], 0, Z).astype(jnp.uint32)
+            Z = np.broadcast_to(one, (n, self.fq.L)).copy()
         else:
-            Z = jnp.where(inf[:, None, None], 0, Z).astype(jnp.uint32)
+            Z = np.zeros((n, 2, self.fq.L), dtype=np.uint32)
+            Z[:, 0, :] = one
+        inf = np.array([p.infinity for p in pts], dtype=bool)
+        Z[inf] = 0
         return (xs, ys, Z)
 
     def decode_points(self, p) -> list[AffinePoint]:
@@ -215,10 +223,14 @@ class DeviceCurveGroup:
         P = self.encode_points([pt])
         return jax.tree.map(lambda c: c[0], P)
 
-    def encode_scalars(self, scalars: list[int]) -> jnp.ndarray:
-        """Canonical (non-Montgomery) Fr limbs for MSM digit extraction."""
+    def encode_scalars(self, scalars: list[int]):
+        """Canonical (non-Montgomery) Fr limbs for MSM digit extraction.
+
+        Returns numpy: scalars often feed host-path MSMs (small batches),
+        and an eager device round-trip on the TPU tunnel is a remote
+        compile. Device consumers transfer lazily at dispatch."""
         r = self.fr.spec.modulus
-        return jnp.asarray(ints_to_limbs([s % r for s in scalars], self.fr.L))
+        return ints_to_limbs([s % r for s in scalars], self.fr.L)
 
     # ------------- variable-base Pippenger -------------
     def msm(self, P, scalars):

@@ -55,6 +55,24 @@ EC_SUBS = 8  # sublanes per block: 1024 elements
 SCAN_SUBS = 8  # groups per scan-kernel block = SCAN_SUBS * 128
 
 
+def scan_subs(ext: int) -> int:
+    """Sublane block for the block-scan kernels (uniform; kept as a function
+    so callers stay ext-agnostic if tiling ever needs to diverge)."""
+    return SCAN_SUBS
+
+
+def _scan_vmem_params(ext: int):
+    """Fq2 (ext=2) doubles the limb rows: the scan kernels' (B, R, sb, 128)
+    input blocks at B=32, R=32, sb=8 are 4 MB each, and with double buffering
+    the default 16 MB scoped-VMEM cap OOMs at compile (observed on v5e, which
+    has far more physical VMEM). Raise the cap for the wide kernels; the
+    sublane dim must stay >= 8 (TPU tiling), so shrinking blocks instead is
+    not an option."""
+    if ext == 1:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 @functools.lru_cache(maxsize=None)
 def _one_mont(p_limbs: tuple) -> tuple:
     """Montgomery form of 1 (= R mod p) as 16-bit limbs."""
@@ -384,6 +402,10 @@ def _scan_madd_fn(ext: int, B: int, sb: int, p_limbs: tuple, np_limbs: tuple):
         fspec = pl.BlockSpec(
             (B, sb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
+        kwargs = {}
+        params = _scan_vmem_params(ext)
+        if params is not None:
+            kwargs["compiler_params"] = params
         return pl.pallas_call(
             kern,
             out_shape=(shp, shp, shp),
@@ -391,6 +413,7 @@ def _scan_madd_fn(ext: int, B: int, sb: int, p_limbs: tuple, np_limbs: tuple):
             in_specs=[inspec, inspec, fspec],
             out_specs=(ospec, ospec, ospec),
             interpret=_INTERPRET,
+            **kwargs,
         )(xb, yb, fb)
 
     return run
@@ -410,6 +433,10 @@ def _scan_add_fn(ext: int, B: int, sb: int, p_limbs: tuple, np_limbs: tuple):
         inspec = pl.BlockSpec(
             (B, R, sb, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
         )
+        kwargs = {}
+        params = _scan_vmem_params(ext)
+        if params is not None:
+            kwargs["compiler_params"] = params
         return pl.pallas_call(
             kern,
             out_shape=(shp, shp, shp),
@@ -417,6 +444,7 @@ def _scan_add_fn(ext: int, B: int, sb: int, p_limbs: tuple, np_limbs: tuple):
             in_specs=[inspec] * 3,
             out_specs=(ospec, ospec, ospec),
             interpret=_INTERPRET,
+            **kwargs,
         )(xb, yb, zb)
 
     return run
@@ -489,7 +517,7 @@ def _to_scan_tiles(R, c, G, B):
 
 def ec_block_totals_madd(cf, leaves, B: int):
     """Affine leaves (X, Y, inf) with leading axis N = G*B -> (G,) Jacobian
-    block totals. Requires G % (SCAN_SUBS*128) == 0."""
+    block totals. Requires G % (scan_subs(ext)*128) == 0."""
     X, Y, inf = leaves
     ext = _ext(cf)
     R = ext * cf.L
@@ -499,7 +527,7 @@ def ec_block_totals_madd(cf, leaves, B: int):
     xb = _to_scan_tiles(R, Xf, G, B)
     yb = _to_scan_tiles(R, Yf, G, B)
     fb = inf.astype(jnp.uint32).reshape(G, B).T.reshape(B, G // LANES, LANES)
-    fn = _scan_madd_fn(ext, B, SCAN_SUBS, *_limbs(cf))
+    fn = _scan_madd_fn(ext, B, scan_subs(ext), *_limbs(cf))
     outs = fn(xb, yb, fb)
     return tuple(_unflatten_coord(cf, c.reshape(R, G).T) for c in outs)
 
@@ -512,6 +540,6 @@ def ec_block_totals_add(cf, points, B: int):
     N = flats[0].shape[0]
     G = N // B
     tiles = [_to_scan_tiles(R, c, G, B) for c in flats]
-    fn = _scan_add_fn(ext, B, SCAN_SUBS, *_limbs(cf))
+    fn = _scan_add_fn(ext, B, scan_subs(ext), *_limbs(cf))
     outs = fn(*tiles)
     return tuple(_unflatten_coord(cf, c.reshape(R, G).T) for c in outs)

@@ -53,39 +53,59 @@ def generate_parameters_from_shape(
     p = curve.fr.modulus
     fr = device_field(curve.fr)
     qap = QapMatrices(shape, curve.fr)
-    if qap.domain.evaluate_vanishing_polynomial(t) == 0:
+    zt = (pow(t, qap.m, p) - 1) % p
+    if zt == 0:
         raise ValueError("t lies in the evaluation domain; resample")
 
     ni = shape.num_inputs
-    u, v, w = qap.evaluations_at(t)  # (num_vars, L) mont each
-
     gamma_inv = pow(gamma, -1, p)
     delta_inv = pow(delta, -1, p)
-    zt = qap.domain.evaluate_vanishing_polynomial(t)
-
-    beta_c = fr.const(beta, (1,))
-    alpha_c = fr.const(alpha, (1,))
-    contrib = fr.add(fr.add(fr.mul(beta_c, u), fr.mul(alpha_c, v)), w)
-    gamma_abc_s = fr.mul(contrib[:ni], fr.const(gamma_inv, (1,)))
-    l_s = fr.mul(contrib[ni:], fr.const(delta_inv, (1,)))
-    h_s = fr.mul(
-        fr.powers(t, qap.m - 1), fr.const(zt * delta_inv % p, (1,))
-    )
 
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
     t1 = dg1.fixed_base(curve.g1_gen)
     t2 = dg2.fixed_base(curve.g2_gen)
 
-    def canon(x):
-        return fr.from_mont(x)
+    if qap.host_mode:
+        # small circuit on the TPU tunnel: instance map in host ints
+        hu, hv, hw = qap.evaluations_at_host(t)
+        contrib_i = [
+            (beta * x + alpha * y + z) % p for x, y, z in zip(hu, hv, hw)
+        ]
+        u_can = dg1.encode_scalars(hu)
+        v_can = dg1.encode_scalars(hv)
+        gamma_abc_can = dg1.encode_scalars(
+            [x * gamma_inv % p for x in contrib_i[:ni]]
+        )
+        l_can = dg1.encode_scalars([x * delta_inv % p for x in contrib_i[ni:]])
+        zd = zt * delta_inv % p
+        h_can, cur = [], zd
+        for _ in range(qap.m - 1):
+            h_can.append(cur)
+            cur = cur * t % p
+        h_can = dg1.encode_scalars(h_can)
+    else:
+        u, v, w = qap.evaluations_at(t)  # (num_vars, L) mont each
+        beta_c = fr.const(beta, (1,))
+        alpha_c = fr.const(alpha, (1,))
+        contrib = fr.add(fr.add(fr.mul(beta_c, u), fr.mul(alpha_c, v)), w)
+        gamma_abc_s = fr.mul(contrib[:ni], fr.const(gamma_inv, (1,)))
+        l_s = fr.mul(contrib[ni:], fr.const(delta_inv, (1,)))
+        h_s = fr.mul(
+            fr.powers(t, qap.m - 1), fr.const(zt * delta_inv % p, (1,))
+        )
+        u_can = fr.from_mont(u)
+        v_can = fr.from_mont(v)
+        gamma_abc_can = fr.from_mont(gamma_abc_s)
+        l_can = fr.from_mont(l_s)
+        h_can = fr.from_mont(h_s)
 
-    a_query = dg1.fixed_base_msm(t1, canon(u))
-    b_g1_query = dg1.fixed_base_msm(t1, canon(v))
-    b_g2_query = dg2.fixed_base_msm(t2, canon(v))
-    h_query = dg1.fixed_base_msm(t1, canon(h_s))
-    l_query = dg1.fixed_base_msm(t1, canon(l_s))
-    gamma_abc_g1 = dg1.decode_points(dg1.fixed_base_msm(t1, canon(gamma_abc_s)))
+    a_query = dg1.fixed_base_msm(t1, u_can)
+    b_g1_query = dg1.fixed_base_msm(t1, v_can)
+    b_g2_query = dg2.fixed_base_msm(t2, v_can)
+    h_query = dg1.fixed_base_msm(t1, h_can)
+    l_query = dg1.fixed_base_msm(t1, l_can)
+    gamma_abc_g1 = dg1.decode_points(dg1.fixed_base_msm(t1, gamma_abc_can))
 
     g1m, g2m = curve.g1.mul, curve.g2.mul
     vk = VerifyKey(

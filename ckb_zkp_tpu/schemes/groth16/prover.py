@@ -58,17 +58,24 @@ def create_proof_from_shape(
 
     from ...utils import stage, stage_sync
 
-    z = shape.full_assignment()
-    with stage("groth16/encode_witness"):
-        z_mont = fr.encode(z)
-        stage_sync(z_mont)
-    with stage("groth16/qap_witness_map"):
-        h = qap.witness_map(z_mont)  # (m-1, L) mont
-        stage_sync(h)
-
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
-    z_can = fr.from_mont(z_mont)
+    z = shape.full_assignment()
+    if qap.host_mode:
+        # small circuit on the TPU tunnel: QAP in host ints, no compiles
+        with stage("groth16/qap_witness_map_host"):
+            h_ints = qap.witness_map_host(z)
+        z_can = dg1.encode_scalars(z)
+        h_can = dg1.encode_scalars(h_ints)
+    else:
+        with stage("groth16/encode_witness"):
+            z_mont = fr.encode(z)
+            stage_sync(z_mont)
+        with stage("groth16/qap_witness_map"):
+            h = qap.witness_map(z_mont)  # (m-1, L) mont
+            stage_sync(h)
+        z_can = fr.from_mont(z_mont)
+        h_can = fr.from_mont(h)
     ni = shape.num_inputs
 
     if mesh is not None:
@@ -87,7 +94,7 @@ def create_proof_from_shape(
     with stage("groth16/msm_b_g1"):
         gb1_acc = msm1(params.b_g1_query, z_can)
     with stage("groth16/msm_h"):
-        h_acc = msm1(params.h_query, fr.from_mont(h))
+        h_acc = msm1(params.h_query, h_can)
     with stage("groth16/msm_l"):
         l_acc = msm1(params.l_query, z_can[ni:])
 

@@ -9,6 +9,7 @@ instance/witness maps (r1cs_to_qap.rs:80-95, :139-142).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ...ops.field import DeviceField, device_field
@@ -25,13 +26,41 @@ def domain_size_for(shape: R1csShape) -> int:
     return n
 
 
+# On non-CPU backends (the TPU tunnel), circuits with domains up to this size
+# run the QAP reduction in host Python ints: every distinct compiled shape
+# costs minutes through the tunnel's remote compiler, which made a
+# 10-constraint CLI proof slower than a 2^20 one. CPU backends keep the
+# device path (compiles are cheap and the tests exercise it).
+HOST_QAP_MAX = 1 << 12
+
+
+def _host_ntt(xs: list[int], omega: int, p: int) -> list[int]:
+    n = len(xs)
+    if n == 1:
+        return list(xs)
+    w2 = omega * omega % p
+    even = _host_ntt(xs[0::2], w2, p)
+    odd = _host_ntt(xs[1::2], w2, p)
+    out = [0] * n
+    w = 1
+    for i in range(n // 2):
+        t = w * odd[i] % p
+        out[i] = (even[i] + t) % p
+        out[i + n // 2] = (even[i] - t) % p
+        w = w * omega % p
+    return out
+
+
 class QapMatrices:
     """Device COO matrices for A (input-augmented), B, C over the QAP domain."""
 
     def __init__(self, shape: R1csShape, spec):
         self.df: DeviceField = device_field(spec)
+        self.spec = spec
         self.m = domain_size_for(shape)
-        self.domain: Domain = get_domain(spec, self.m)
+        self.host_mode = (
+            jax.default_backend() != "cpu" and self.m <= HOST_QAP_MAX
+        )
         nc, ni = shape.num_constraints, shape.num_inputs
         nv = shape.num_variables
         a_rows = np.concatenate(
@@ -39,6 +68,17 @@ class QapMatrices:
         )
         a_cols = np.concatenate([shape.a.cols, np.arange(ni, dtype=np.int32)])
         a_coeffs = list(shape.a.coeffs) + [1] * ni
+        self._host_coo = (
+            (a_rows, a_cols, a_coeffs),
+            (shape.b.rows, shape.b.cols, list(shape.b.coeffs)),
+            (shape.c.rows, shape.c.cols, list(shape.c.coeffs)),
+        )
+        self.num_variables = nv
+        if self.host_mode:
+            self.domain = None
+            self.a = self.b = self.c = None
+            return
+        self.domain: Domain = get_domain(spec, self.m)
         self.a = DeviceCoo(self.df, a_rows, a_cols, a_coeffs, self.m, nv)
         self.b = DeviceCoo(
             self.df, shape.b.rows, shape.b.cols, shape.b.coeffs, self.m, nv
@@ -46,6 +86,77 @@ class QapMatrices:
         self.c = DeviceCoo(
             self.df, shape.c.rows, shape.c.cols, shape.c.coeffs, self.m, nv
         )
+
+    # ---- host path (small circuits on the TPU tunnel) ----
+    def _host_matvec(self, coo, z: list[int]) -> list[int]:
+        rows, cols, coeffs = coo
+        p = self.spec.modulus
+        out = [0] * self.m
+        for r, c, v in zip(rows, cols, coeffs):
+            out[int(r)] = (out[int(r)] + v * z[int(c)]) % p
+        return out
+
+    def witness_map_host(self, z: list[int]) -> list[int]:
+        """Host-int witness map: same pipeline as `witness_map`, exact."""
+        p = self.spec.modulus
+        spec = self.spec
+        n = self.m
+        omega = spec.root_of_unity(n)
+        omega_inv = pow(omega, -1, p)
+        n_inv = pow(n, -1, p)
+        g = spec.generator
+
+        def intt(xs):
+            out = _host_ntt(xs, omega_inv, p)
+            return [x * n_inv % p for x in out]
+
+        def coset_ntt(xs):
+            scaled, cur = [], 1
+            for c in xs:
+                scaled.append(c * cur % p)
+                cur = cur * g % p
+            return _host_ntt(scaled, omega, p)
+
+        a = coset_ntt(intt(self._host_matvec(self._host_coo[0], z)))
+        b = coset_ntt(intt(self._host_matvec(self._host_coo[1], z)))
+        c = coset_ntt(intt(self._host_matvec(self._host_coo[2], z)))
+        zinv = pow(pow(g, n, p) - 1, -1, p)
+        q = [(x * y - w) % p * zinv % p for x, y, w in zip(a, b, c)]
+        ginv = pow(g, -1, p)
+        h, res, cur = intt(q), [], 1
+        for x in h:
+            res.append(x * cur % p)
+            cur = cur * ginv % p
+        return res[: self.m - 1]
+
+    def evaluations_at_host(self, t: int):
+        """u_i(t), v_i(t), w_i(t) as host ints (setup instance map)."""
+        p = self.spec.modulus
+        n = self.m
+        omega = self.spec.root_of_unity(n)
+        # Lagrange coefficients L_i(t)
+        if pow(t, n, p) == 1:
+            lag = [0] * n
+            cur = 1
+            for i in range(n):
+                if cur == t % p:
+                    lag[i] = 1
+                cur = cur * omega % p
+        else:
+            zt_over_n = (pow(t, n, p) - 1) * pow(n, -1, p) % p
+            lag, cur = [], 1
+            for _ in range(n):
+                lag.append(zt_over_n * cur % p * pow((t - cur) % p, -1, p) % p)
+                cur = cur * omega % p
+        nv = self.num_variables
+        out = []
+        for coo in self._host_coo:
+            rows, cols, coeffs = coo
+            acc = [0] * nv
+            for r, c, v in zip(rows, cols, coeffs):
+                acc[int(c)] = (acc[int(c)] + v * lag[int(r)]) % p
+            out.append(acc)
+        return tuple(out)
 
     def witness_map(self, z_mont):
         """Full assignment (mont) -> h coefficients (mont, len m-1).

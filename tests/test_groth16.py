@@ -53,3 +53,23 @@ def test_groth16_mini_end_to_end(curve, params, zk):
     assert groth16.verify_proof(curve, pvk, proof, [10])
     assert not groth16.verify_proof(curve, pvk, proof, [11])
     assert not groth16.verify_proof(curve, pvk, proof, [10, 1])
+
+
+def test_qap_host_path_matches_device(curve):
+    """The host-int QAP path (used for small circuits on the TPU tunnel,
+    where per-shape compiles cost minutes) must agree with the device path
+    exactly: witness map h coefficients and setup instance-map evaluations."""
+    from ckb_zkp_tpu.r1cs import SynthesisMode, synthesize
+    from ckb_zkp_tpu.schemes.groth16.qap import QapMatrices
+
+    p = curve.fr.modulus
+    shape = synthesize(Mini.power_on(2, 3, 10), p, SynthesisMode.PROVE)
+    qap = QapMatrices(shape, curve.fr)
+    assert not qap.host_mode  # CPU backend keeps the device path
+    z = shape.full_assignment()
+    h_dev = qap.df.decode(qap.witness_map(qap.df.encode(z)))
+    assert qap.witness_map_host(z) == h_dev
+    t = 0x1234567
+    u_dev, v_dev, w_dev = (qap.df.decode(x) for x in qap.evaluations_at(t))
+    hu, hv, hw = qap.evaluations_at_host(t)
+    assert (hu, hv, hw) == (u_dev, v_dev, w_dev)
