@@ -89,6 +89,7 @@ class DeviceCurveGroup:
         self._fb_chunk = (1 << 15) if group == "g1" else (1 << 14)
         self._msm_jit = jax.jit(self._msm_impl)
         self._fixed_base_jit = jax.jit(self._fixed_base_impl)
+        self._fixed_base_chunked_jit = jax.jit(self._fixed_base_chunked)
         self._table = jax.jit(self._table_impl)
         self._normalize_jit = jax.jit(self._normalize)
 
@@ -169,8 +170,10 @@ class DeviceCurveGroup:
         return out
 
     def decode_point(self, p) -> AffinePoint:
-        P = tuple(c[None] for c in p)
-        return self.decode_points(P)[0]
+        # host-side expansion: an eager device reshape would cost a remote
+        # compile per shape on the TPU tunnel
+        P = tuple(np.asarray(jax.device_get(c))[None] for c in p)
+        return self.decode_points_host(P)[0]
 
     # ------- host-only decoding (no device compute, hence no compiles) -------
     def _limbs_to_int_demont(self, limbs) -> int:
@@ -454,7 +457,11 @@ class DeviceCurveGroup:
         return table
 
     def _fixed_base_impl(self, table, scalars):
-        """scalars: (N, L) canonical limbs -> (N,) points via table gathers."""
+        """scalars: (N, L) canonical limbs -> (N,) affine-encoded points.
+
+        Normalization (Jacobian -> Z in {0, 1}) is fused into the same
+        compiled graph: downstream variable-base MSMs assume affine encoding
+        (arkworks `batch_normalization` parity, generator.rs:270)."""
         n = scalars.shape[0]
 
         def body(w, acc):
@@ -463,15 +470,29 @@ class DeviceCurveGroup:
             picked = jax.tree.map(lambda t: t[digits], row)
             return self.p_add(acc, picked)
 
-        return jax.lax.fori_loop(
-            0, self.nwindows, body, self.p_identity((n,))
-        )
+        out = jax.lax.fori_loop(0, self.nwindows, body, self.p_identity((n,)))
+        return self._normalize(out)
 
-    def fixed_base_msm(self, table, scalars):
+    def _fixed_base_chunked(self, table, scalars3):
+        """scalars3: (k, C, L) -> (k*C,) points; one traced chunk instance.
+
+        Chunking bounds HBM (a full-width EC add materializes (N, L, L) mul
+        temporaries — 2^18 G2 scalars OOM unchunked) and keeps ONE compiled
+        chunk graph shared across all chunk positions."""
+
+        def body(_, s):
+            return None, self._fixed_base_impl(table, s)
+
+        _, out = jax.lax.scan(body, None, scalars3)
+        return jax.tree.map(lambda c: c.reshape(-1, *c.shape[2:]), out)
+
+    def fixed_base_msm(self, table, scalars, pad_output: bool = False):
         """Public fixed-base entry with the same power-of-two padding.
 
         `table` may be a lazy FixedBase wrapper (preferred) or raw device
-        window tables.
+        window tables. With pad_output=True the pow2-padded array is
+        returned whole (padding rows are infinity — zero scalars), letting
+        callers keep shape-stable arrays without an extra device slice.
         """
         if isinstance(table, FixedBase):
             n = scalars.shape[0]
@@ -483,24 +504,16 @@ class DeviceCurveGroup:
         n = scalars.shape[0]
         np2 = max(8, 1 << (n - 1).bit_length())
         if np2 != n:
-            scalars = jnp.concatenate(
-                [scalars, jnp.zeros((np2 - n, scalars.shape[1]), scalars.dtype)],
-                axis=0,
-            )
-        # chunk big batches: a full-width EC add materializes (N, L, L) mul
-        # temporaries — at 2^18 G2 scalars that OOMs HBM. One compiled graph
-        # serves every chunk.
+            pad_fn = np.pad if isinstance(scalars, np.ndarray) else jnp.pad
+            scalars = pad_fn(scalars, ((0, np2 - n), (0, 0)))
         chunk = self._fb_chunk
         if np2 > chunk:
-            parts = [
-                self._fixed_base_jit(table, scalars[i : i + chunk])
-                for i in range(0, np2, chunk)
-            ]
-            out = jax.tree.map(lambda *cs: jnp.concatenate(cs, axis=0), *parts)
+            s3 = scalars.reshape(np2 // chunk, chunk, scalars.shape[-1])
+            out = self._fixed_base_chunked_jit(table, s3)
         else:
             out = self._fixed_base_jit(table, scalars)
-        # affine-encode: downstream variable-base MSMs assume Z in {0, 1}
-        out = self._normalize_jit(out)
+        if pad_output:
+            return out
         return jax.tree.map(lambda c: c[:n], out)
 
     def fixed_base_table(self, base_affine: AffinePoint):

@@ -53,18 +53,20 @@ class Domain:
         self.coset_g_inv = pow(self.coset_g, -1, p)
         self._bitrev = jnp.asarray(_bitrev_indices(n))
         self.fft = jax.jit(self._fft_impl, static_argnames=("inverse", "coset"))
+        # one compiled builder serves every base of this domain size (the
+        # base enters as data); building the table with eager doubling ops
+        # instead costs ~log2(n) separate compiles on the TPU tunnel
+        self._table_builder = jax.jit(self._build_pow_table)
         # build power tables eagerly (outside any trace) so the lru_cache
         # never captures tracers
         for base in (self.omega, self.omega_inv, self.coset_g, self.coset_g_inv):
             self._pow_table(base)
 
     # ---- twiddle/power tables (device, cached) ----
-    @functools.lru_cache(maxsize=None)
-    def _pow_table(self, base: int) -> jnp.ndarray:
-        """[base^0 .. base^(n-1)] as (n, L) Montgomery limbs, built on device."""
+    def _build_pow_table(self, w_pow: jnp.ndarray) -> jnp.ndarray:
+        """w_pow: (1, L) mont base -> [base^0 .. base^(n-1)] by doubling."""
         df = self.df
         table = df.ones((1,))
-        w_pow = df.encode([base])  # base^(2^0 * 1) — squared as table doubles
         length = 1
         while length < self.n:
             table = jnp.concatenate([table, df.mul(table, w_pow)], axis=0)
@@ -72,12 +74,24 @@ class Domain:
             length *= 2
         return table
 
+    @functools.lru_cache(maxsize=None)
+    def _pow_table(self, base: int) -> jnp.ndarray:
+        """[base^0 .. base^(n-1)] as (n, L) Montgomery limbs, built on device."""
+        return self._table_builder(self.df.encode([base]))
+
     # ---- core transform ----
     def _fft_impl(self, x: jnp.ndarray, *, inverse: bool = False, coset: bool = False):
         """NTT over the domain; natural order in and out.
 
         coset=True: forward evaluates on gH (coset_fft); inverse interpolates
         from gH (coset_ifft).
+
+        DIF radix-2 with ONE traced stage instance under lax.fori_loop on a
+        fixed (n, L) layout: stage s pairs i with i^half (half = n >> (s+1)),
+        top rows get a+b, bottom rows (a-b)*omega^((i & (half-1)) << s). The
+        earlier Python-unrolled reshape/stack formulation traced log2(n)
+        distinct stages (each with its own Pallas mul shape) and took tens of
+        minutes to compile through the TPU tunnel's remote compiler.
         """
         df, n = self.df, self.n
         assert x.shape[0] == n, (x.shape, n)
@@ -85,18 +99,21 @@ class Domain:
             x = df.mul(x, self._pow_table(self.coset_g))
         if n > 1:
             table = self._pow_table(self.omega_inv if inverse else self.omega)
-            y = x.reshape(1, n, df.L)
-            blocks, size = 1, n
-            while size > 1:
-                half = size // 2
-                a, b = y[:, :half], y[:, half:]
-                # block size `size`: omega_size = omega^blocks; tw_j = omega^(blocks*j)
-                tw = table[0 : blocks * half : blocks][None]
-                top = df.add(a, b)
-                bot = df.mul(df.sub(a, b), tw)
-                y = jnp.stack([top, bot], axis=1).reshape(blocks * 2, half, df.L)
-                blocks, size = blocks * 2, half
-            x = y.reshape(n, df.L)[self._bitrev]
+            logn = n.bit_length() - 1
+            idx = jnp.arange(n, dtype=jnp.int32)
+
+            def stage(s, y):
+                half = jnp.int32(n) >> (s + 1)
+                u = jnp.take(y, idx ^ half, axis=0)  # partner rows
+                bottom = (idx & half) != 0
+                e = (idx & (half - 1)) << s
+                tw = jnp.take(table, e, axis=0)
+                top = df.add(y, u)
+                bot = df.mul(df.sub(u, y), tw)
+                return jnp.where(bottom[:, None], bot, top)
+
+            x = jax.lax.fori_loop(0, logn, stage, x)
+            x = x[self._bitrev]
         if inverse:
             x = df.mul(x, df.const(self.n_inv, (1,)))
             if coset:

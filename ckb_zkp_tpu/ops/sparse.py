@@ -56,6 +56,7 @@ class DeviceCoo:
         self.c_coeffs = coeff_dev[jnp.asarray(order_c)]
         self.matvec = jax.jit(self._matvec)
         self.rmatvec = jax.jit(self._rmatvec)
+        self.rmatvec_padded = jax.jit(self._rmatvec_padded)
 
     def _gather_mul_reduce(self, z, idx_gather, coeffs, seg_ids, out_len):
         df = self.df
@@ -74,7 +75,12 @@ class DeviceCoo:
 
     def _rmatvec(self, z: jnp.ndarray) -> jnp.ndarray:
         """z: (num_rows, L) mont -> (num_cols, L) mont (transpose product)."""
-        out = self._gather_mul_reduce(
+        return self._rmatvec_padded(z)[: self.num_cols]
+
+    def _rmatvec_padded(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Like rmatvec but keeps the pow2-padded (num_cols_pad, L) shape —
+        rows past num_cols are zero. Padded shapes keep downstream compiled
+        graphs shared across circuit sizes."""
+        return self._gather_mul_reduce(
             z, self.c_rows, self.c_coeffs, self.c_cols, self.num_cols_pad
         )
-        return out[: self.num_cols]

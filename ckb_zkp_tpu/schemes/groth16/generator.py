@@ -11,6 +11,9 @@ from __future__ import annotations
 
 import random
 
+import jax
+import jax.numpy as jnp
+
 from ...host.pairing import PairingCurve
 from ...ops.field import device_field
 from ...ops.msm import device_group
@@ -84,28 +87,60 @@ def generate_parameters_from_shape(
             h_can.append(cur)
             cur = cur * t % p
         h_can = dg1.encode_scalars(h_can)
+        padded = False
     else:
-        u, v, w = qap.evaluations_at(t)  # (num_vars, L) mont each
-        beta_c = fr.const(beta, (1,))
-        alpha_c = fr.const(alpha, (1,))
-        contrib = fr.add(fr.add(fr.mul(beta_c, u), fr.mul(alpha_c, v)), w)
-        gamma_abc_s = fr.mul(contrib[:ni], fr.const(gamma_inv, (1,)))
-        l_s = fr.mul(contrib[ni:], fr.const(delta_inv, (1,)))
-        h_s = fr.mul(
-            fr.powers(t, qap.m - 1), fr.const(zt * delta_inv % p, (1,))
-        )
-        u_can = fr.from_mont(u)
-        v_can = fr.from_mont(v)
-        gamma_abc_can = fr.from_mont(gamma_abc_s)
-        l_can = fr.from_mont(l_s)
-        h_can = fr.from_mont(h_s)
+        # ONE jitted graph for the whole instance map + query scalars:
+        # Lagrange kernel, three transpose matvecs, scalar algebra, t-powers
+        # and Montgomery conversions. Eager per-op dispatch here costs one
+        # remote compile per op/shape on the TPU tunnel. All outputs keep
+        # pow2-padded shapes (gamma_abc is sliced to a small pow2 in-trace).
+        ga_pad = max(8, 1 << max(0, ni - 1).bit_length())
 
-    a_query = dg1.fixed_base_msm(t1, u_can)
-    b_g1_query = dg1.fixed_base_msm(t1, v_can)
-    b_g2_query = dg2.fixed_base_msm(t2, v_can)
-    h_query = dg1.fixed_base_msm(t1, h_can)
-    l_query = dg1.fixed_base_msm(t1, l_can)
-    gamma_abc_g1 = dg1.decode_points(dg1.fixed_base_msm(t1, gamma_abc_can))
+        def _setup_scalars():
+            lag = qap.domain.evaluate_all_lagrange_coefficients(t)
+            u = qap.a.rmatvec_padded(lag)
+            v = qap.b.rmatvec_padded(lag)
+            w = qap.c.rmatvec_padded(lag)
+            beta_c = fr.const(beta, (1,))
+            alpha_c = fr.const(alpha, (1,))
+            contrib = fr.add(fr.add(fr.mul(beta_c, u), fr.mul(alpha_c, v)), w)
+            ncp = contrib.shape[0]
+            is_input = (jnp.arange(ncp) < ni)[:, None]
+            gamma_abc_s = jnp.where(
+                is_input, fr.mul(contrib, fr.const(gamma_inv, (1,))), 0
+            )[:ga_pad]
+            l_s = jnp.where(
+                is_input, 0, fr.mul(contrib, fr.const(delta_inv, (1,)))
+            )
+            h_s = fr.mul(
+                fr.powers(t, qap.m), fr.const(zt * delta_inv % p, (1,))
+            )
+            # logical h has m-1 entries; zero the top scalar (pairs with an
+            # infinity query point either way)
+            h_s = jnp.where((jnp.arange(qap.m) < qap.m - 1)[:, None], h_s, 0)
+            return (
+                fr.from_mont(u),
+                fr.from_mont(v),
+                fr.from_mont(gamma_abc_s),
+                fr.from_mont(l_s),
+                fr.from_mont(h_s),
+            )
+
+        u_can, v_can, gamma_abc_can, l_can, h_can = jax.jit(_setup_scalars)()
+        padded = True
+
+    a_query = dg1.fixed_base_msm(t1, u_can, pad_output=padded)
+    b_g1_query = dg1.fixed_base_msm(t1, v_can, pad_output=padded)
+    b_g2_query = dg2.fixed_base_msm(t2, v_can, pad_output=padded)
+    h_query = dg1.fixed_base_msm(t1, h_can, pad_output=padded)
+    l_query = dg1.fixed_base_msm(t1, l_can, pad_output=padded)
+    if padded:
+        # gamma_abc is tiny (public inputs): host fixed-base over the small
+        # device slice, no device decode of full query arrays
+        ga_scalars = dg1._scalars_host(gamma_abc_can)[:ni]
+        gamma_abc_g1 = [curve.g1.mul(curve.g1_gen, s) for s in ga_scalars]
+    else:
+        gamma_abc_g1 = dg1.decode_points(dg1.fixed_base_msm(t1, gamma_abc_can))
 
     g1m, g2m = curve.g1.mul, curve.g2.mul
     vk = VerifyKey(
@@ -129,4 +164,5 @@ def generate_parameters_from_shape(
         num_inputs=ni,
         num_aux=shape.num_aux,
         num_constraints=shape.num_constraints,
+        padded_queries=padded,
     )

@@ -61,42 +61,72 @@ def create_proof_from_shape(
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
     z = shape.full_assignment()
+    ni = shape.num_inputs
+    nv = shape.num_inputs + shape.num_aux
+    padded = params.padded_queries
     if qap.host_mode:
-        # small circuit on the TPU tunnel: QAP in host ints, no compiles
+        # small circuit on the TPU tunnel: QAP in host ints, no compiles,
+        # host MSMs over host-decoded query points
         with stage("groth16/qap_witness_map_host"):
             h_ints = qap.witness_map_host(z)
-        z_can = dg1.encode_scalars(z)
-        h_can = dg1.encode_scalars(h_ints)
+
+        def host_pts(dg, q, sl):
+            return dg.decode_points_host(q)[sl]
+
+        ga_acc = curve.g1.msm(host_pts(dg1, params.a_query, slice(nv)), z)
+        gb2_acc = curve.g2.msm(host_pts(dg2, params.b_g2_query, slice(nv)), z)
+        gb1_acc = curve.g1.msm(host_pts(dg1, params.b_g1_query, slice(nv)), z)
+        h_acc = curve.g1.msm(
+            host_pts(dg1, params.h_query, slice(qap.m - 1)), h_ints
+        )
+        l_sl = (
+            slice(ni, ni + shape.num_aux) if padded else slice(shape.num_aux)
+        )
+        l_acc = curve.g1.msm(host_pts(dg1, params.l_query, l_sl), z[ni:])
     else:
+        if padded:
+            # shape-stable path: z padded to the QAP's pow2 column count on
+            # host, every MSM runs at a pow2 length shared across queries
+            z = z + [0] * (qap.num_cols_pad - len(z))
         with stage("groth16/encode_witness"):
             z_mont = fr.encode(z)
             stage_sync(z_mont)
         with stage("groth16/qap_witness_map"):
-            h = qap.witness_map(z_mont)  # (m-1, L) mont
+            h = qap.witness_map(z_mont)  # (m, L) mont, top coeff zero
             stage_sync(h)
         z_can = fr.from_mont(z_mont)
         h_can = fr.from_mont(h)
-    ni = shape.num_inputs
+        if not padded:
+            h_can = h_can[: qap.m - 1]
 
-    if mesh is not None:
-        from ...parallel.msm import msm_sharded
+        if mesh is not None:
+            from ...parallel.msm import msm_sharded
 
-        msm1 = lambda pts, scl: dg1.decode_point(msm_sharded(dg1, pts, scl, mesh))  # noqa: E731
-        msm2 = lambda pts, scl: dg2.decode_point(msm_sharded(dg2, pts, scl, mesh))  # noqa: E731
-    else:
-        msm1 = lambda pts, scl: dg1.decode_point(dg1.msm(pts, scl))  # noqa: E731
-        msm2 = lambda pts, scl: dg2.decode_point(dg2.msm(pts, scl))  # noqa: E731
+            msm1 = lambda pts, scl: msm_sharded(dg1, pts, scl, mesh)  # noqa: E731
+            msm2 = lambda pts, scl: msm_sharded(dg2, pts, scl, mesh)  # noqa: E731
+        else:
+            msm1 = dg1.msm
+            msm2 = dg2.msm
 
-    with stage("groth16/msm_a"):
-        ga_acc = msm1(params.a_query, z_can)
-    with stage("groth16/msm_b_g2"):
-        gb2_acc = msm2(params.b_g2_query, z_can)
-    with stage("groth16/msm_b_g1"):
-        gb1_acc = msm1(params.b_g1_query, z_can)
-    with stage("groth16/msm_h"):
-        h_acc = msm1(params.h_query, h_can)
-    with stage("groth16/msm_l"):
-        l_acc = msm1(params.l_query, z_can[ni:])
+        with stage("groth16/msm_a"):
+            ga_acc = msm1(params.a_query, z_can)
+        with stage("groth16/msm_b_g2"):
+            gb2_acc = msm2(params.b_g2_query, z_can)
+        with stage("groth16/msm_b_g1"):
+            gb1_acc = msm1(params.b_g1_query, z_can)
+        with stage("groth16/msm_h"):
+            h_acc = msm1(params.h_query, h_can)
+        with stage("groth16/msm_l"):
+            # padded l_query holds infinity at input slots, so the full
+            # padded z pairs correctly; exact keys pair aux scalars only
+            l_acc = msm1(
+                params.l_query, z_can if padded else z_can[ni:]
+            )
+        ga_acc = dg1.decode_point(ga_acc)
+        gb2_acc = dg2.decode_point(gb2_acc)
+        gb1_acc = dg1.decode_point(gb1_acc)
+        h_acc = dg1.decode_point(h_acc)
+        l_acc = dg1.decode_point(l_acc)
 
     g1, g2 = curve.g1, curve.g2
     # A = alpha + sum z_i u_i(t) + r*delta

@@ -63,6 +63,7 @@ class QapMatrices:
         )
         nc, ni = shape.num_constraints, shape.num_inputs
         nv = shape.num_variables
+        self.num_cols_pad = max(8, 1 << max(0, nv - 1).bit_length())
         a_rows = np.concatenate(
             [shape.a.rows, np.arange(nc, nc + ni, dtype=np.int32)]
         )
@@ -159,10 +160,13 @@ class QapMatrices:
         return tuple(out)
 
     def witness_map(self, z_mont):
-        """Full assignment (mont) -> h coefficients (mont, len m-1).
+        """Full assignment (mont) -> h coefficients (mont, full length m).
 
         The reference's hot loop 1 (r1cs_to_qap.rs:113-172): sparse matvecs,
         4 iNTT/coset-NTT pairs, pointwise ops, constant vanishing division.
+        The logical h has m-1 coefficients; the top coefficient is zero in
+        exact arithmetic and callers pair it with an infinity query point,
+        so the pow2 shape is kept (shared compiled graphs, no device slice).
         """
         df, dom = self.df, self.domain
         if z_mont.shape[0] < self.a.num_cols_pad:  # shape-stable compile cache
@@ -176,8 +180,7 @@ class QapMatrices:
         cb = dom.coset_ntt(dom.intt(b))
         cc = dom.coset_ntt(dom.intt(c))
         q = df.sub(df.mul(ca, cb), cc)
-        h = dom.coset_intt(dom.divide_by_vanishing_poly_on_coset(q))
-        return h[: self.m - 1]
+        return dom.coset_intt(dom.divide_by_vanishing_poly_on_coset(q))
 
     def evaluations_at(self, t: int):
         """u_i(t), v_i(t), w_i(t) for every variable i (setup instance map)."""

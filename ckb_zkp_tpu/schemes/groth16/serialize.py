@@ -61,18 +61,31 @@ def parameters_to_bytes(params: Parameters) -> bytes:
     g1c, g2c = _codecs(curve)
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
+    nv = params.num_inputs + params.num_aux
+    ni = params.num_inputs
+    m = params.domain_size
+    if params.padded_queries:
+        # in-memory arrays carry pow2 padding (types.Parameters docstring);
+        # the wire format keeps the reference's exact logical lengths
+        slices = [slice(nv), slice(nv), slice(nv), slice(m - 1),
+                  slice(ni, ni + params.num_aux)]
+    else:
+        slices = [slice(None)] * 5
     buf = io.BytesIO()
     buf.write(vk_to_bytes(curve, params.vk))
     buf.write(g1c.to_bytes(params.beta_g1))
     buf.write(g1c.to_bytes(params.delta_g1))
-    for codec, dg, query in (
-        (g1c, dg1, params.a_query),
-        (g1c, dg1, params.b_g1_query),
-        (g2c, dg2, params.b_g2_query),
-        (g1c, dg1, params.h_query),
-        (g1c, dg1, params.l_query),
+    for (codec, dg, query), sl in zip(
+        (
+            (g1c, dg1, params.a_query),
+            (g1c, dg1, params.b_g1_query),
+            (g2c, dg2, params.b_g2_query),
+            (g1c, dg1, params.h_query),
+            (g1c, dg1, params.l_query),
+        ),
+        slices,
     ):
-        pts = dg.decode_points(query)
+        pts = dg.decode_points(query)[sl]
         write_u64(buf, len(pts))
         for p in pts:
             buf.write(codec.to_bytes(p))
@@ -93,28 +106,43 @@ def parameters_from_bytes(curve: PairingCurve, data: bytes) -> Parameters:
     vk = VerifyKey(vk_alpha, beta_g2, gamma_g2, delta_g2, gamma_abc)
     beta_g1 = g1c.read(buf)
     delta_g1 = g1c.read(buf)
-    queries = []
+    raw = []
     for codec, dg in ((g1c, dg1), (g1c, dg1), (g2c, dg2), (g1c, dg1), (g1c, dg1)):
         k = read_u64(buf)
-        pts = [codec.read(buf) for _ in range(k)]
-        queries.append(dg.encode_points(pts))
-    a_query, b_g1_query, b_g2_query, h_query, l_query = queries
+        raw.append([codec.read(buf) for _ in range(k)])
+    a_pts, b1_pts, b2_pts, h_pts, l_pts = raw
+    nv = len(a_pts)
+    ni = len(gamma_abc)
+    naux = len(l_pts)
+    m = len(h_pts) + 1
+
+    def pow2(x):
+        return max(8, 1 << max(0, x - 1).bit_length())
+
+    # big keys are re-padded to the device layout so proving reuses the
+    # shape-stable compiled graphs; small keys stay exact (host-path prove)
+    padded = nv > dg1.small_host_threshold
+    if padded:
+        ncp = pow2(nv)
+        inf1, inf2 = curve.g1.infinity, curve.g2.infinity
+        a_pts = a_pts + [inf1] * (ncp - nv)
+        b1_pts = b1_pts + [inf1] * (ncp - nv)
+        b2_pts = b2_pts + [inf2] * (ncp - nv)
+        h_pts = h_pts + [inf1] * (m - len(h_pts))
+        l_pts = [inf1] * ni + l_pts + [inf1] * (ncp - ni - naux)
     return Parameters(
         curve=curve,
         vk=vk,
         beta_g1=beta_g1,
         delta_g1=delta_g1,
-        domain_size=_leading_len(h_query) + 1,
-        a_query=a_query,
-        b_g1_query=b_g1_query,
-        b_g2_query=b_g2_query,
-        h_query=h_query,
-        l_query=l_query,
-        num_inputs=len(gamma_abc),
-        num_aux=_leading_len(l_query),
+        domain_size=m,
+        a_query=dg1.encode_points(a_pts),
+        b_g1_query=dg1.encode_points(b1_pts),
+        b_g2_query=dg2.encode_points(b2_pts),
+        h_query=dg1.encode_points(h_pts),
+        l_query=dg1.encode_points(l_pts),
+        num_inputs=ni,
+        num_aux=naux,
         num_constraints=0,
+        padded_queries=padded,
     )
-
-
-def _leading_len(point_arrays) -> int:
-    return point_arrays[0].shape[0]

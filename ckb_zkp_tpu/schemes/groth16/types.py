@@ -61,3 +61,8 @@ class Parameters:
     num_inputs: int = 0
     num_aux: int = 0
     num_constraints: int = 0
+    # True when query arrays carry pow2 padding (infinity rows): a/b queries
+    # padded to next_pow2(num_vars) (l_query same length, inputs zeroed),
+    # h_query padded to domain_size. Shape-stable arrays share compiled
+    # graphs; the serializer slices back to logical lengths.
+    padded_queries: bool = False
