@@ -72,3 +72,33 @@ def test_plonk_end_to_end(curve):
     proof = Plonk.prove(curve, pk, cs, rng)
     assert Plonk.verify(curve, vk, cs.public_inputs(), proof)
     assert not Plonk.verify(curve, vk, [1] + cs.public_inputs()[1:], proof)
+
+
+def test_plonk_ark_roundtrip(curve):
+    """ark-0.2 wire roundtrip for PLONK vk + proof (serialize.py layout)."""
+    from ckb_zkp_tpu.schemes.plonk import serialize as pser
+
+    p = curve.fr.modulus
+    rng = random.Random(23)
+    cs = reference_circuit(p)
+    ks = default_ks(p)
+    srs = Plonk.setup(curve, 64, rng)
+    pk, vk = Plonk.keygen(curve, srs, cs, ks)
+    proof = Plonk.prove(curve, pk, cs, rng)
+
+    vk_bytes = pser.vk_to_bytes(curve, vk)
+    vk2 = pser.vk_from_bytes(curve, vk_bytes)
+    assert pser.vk_to_bytes(curve, vk2) == vk_bytes
+    proof_bytes = pser.proof_to_bytes(curve, proof)
+    proof2 = pser.proof_from_bytes(curve, proof_bytes)
+    assert pser.proof_to_bytes(curve, proof2) == proof_bytes
+    assert Plonk.verify(curve, vk2, cs.public_inputs(), proof2)
+    # tampering is rejected at decode or verify
+    bad = bytearray(proof_bytes)
+    bad[5] ^= 1
+    try:
+        proof3 = pser.proof_from_bytes(curve, bytes(bad))
+        ok = Plonk.verify(curve, vk2, cs.public_inputs(), proof3)
+    except ValueError:
+        ok = False
+    assert not ok
