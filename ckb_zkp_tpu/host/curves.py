@@ -148,6 +148,7 @@ class WeierstrassGroup(Generic[F]):
         self.a = a
         self.b = b
         self.order = order  # prime subgroup order r
+        self._a_is_zero = field.is_zero(a)
 
     @property
     def infinity(self) -> AffinePoint[F]:
@@ -197,20 +198,216 @@ class WeierstrassGroup(Generic[F]):
     def sub(self, p: AffinePoint[F], q: AffinePoint[F]) -> AffinePoint[F]:
         return self.add(p, self.neg(q))
 
+    # ---- Jacobian internals: host muls/MSMs avoid the per-add modular
+    # inversion of the affine formulas (measured: one pow(x,-1,p) costs
+    # ~40 modmuls), paying one inversion per result instead of per step ----
+
+    def _j_from_affine(self, p: AffinePoint[F]):
+        if p.infinity:
+            return None
+        return (p.x, p.y, self.f.one)
+
+    def _j_to_affine(self, P) -> AffinePoint[F]:
+        if P is None:
+            return self.infinity
+        f = self.f
+        x, y, z = P
+        zinv = f.inv(z)
+        zinv2 = f.sqr(zinv)
+        return AffinePoint(f.mul(x, zinv2), f.mul(y, f.mul(zinv, zinv2)))
+
+    def _j_double(self, P):
+        if P is None:
+            return None
+        f = self.f
+        x, y, z = P
+        if f.is_zero(y):
+            return None
+        xx = f.sqr(x)
+        yy = f.sqr(y)
+        yyyy = f.sqr(yy)
+        zz = f.sqr(z)
+        # S = 2*((X+YY)^2 - XX - YYYY)
+        s = f.scalar(f.sub(f.sub(f.sqr(f.add(x, yy)), xx), yyyy), 2)
+        m = f.scalar(xx, 3)
+        if not self._a_is_zero:
+            m = f.add(m, f.mul(self.a, f.sqr(zz)))
+        x3 = f.sub(f.sqr(m), f.scalar(s, 2))
+        y3 = f.sub(f.mul(m, f.sub(s, x3)), f.scalar(yyyy, 8))
+        z3 = f.sub(f.sub(f.sqr(f.add(y, z)), yy), zz)
+        return (x3, y3, z3)
+
+    def _j_add_affine(self, P, q: AffinePoint[F]):
+        """Mixed add P (Jacobian) + q (affine)."""
+        if q.infinity:
+            return P
+        if P is None:
+            return (q.x, q.y, self.f.one)
+        f = self.f
+        x1, y1, z1 = P
+        z1z1 = f.sqr(z1)
+        u2 = f.mul(q.x, z1z1)
+        s2 = f.mul(f.mul(q.y, z1), z1z1)
+        h = f.sub(u2, x1)
+        r = f.sub(s2, y1)
+        if f.is_zero(h):
+            if f.is_zero(r):
+                return self._j_double(P)
+            return None
+        hh = f.sqr(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(x1, hh)
+        x3 = f.sub(f.sub(f.sqr(r), hhh), f.scalar(v, 2))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(y1, hhh))
+        z3 = f.mul(z1, h)
+        return (x3, y3, z3)
+
+    def _j_add(self, P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        f = self.f
+        x1, y1, z1 = P
+        x2, y2, z2 = Q
+        z1z1 = f.sqr(z1)
+        z2z2 = f.sqr(z2)
+        u1 = f.mul(x1, z2z2)
+        u2 = f.mul(x2, z1z1)
+        s1 = f.mul(f.mul(y1, z2), z2z2)
+        s2 = f.mul(f.mul(y2, z1), z1z1)
+        h = f.sub(u2, u1)
+        r = f.sub(s2, s1)
+        if f.is_zero(h):
+            if f.is_zero(r):
+                return self._j_double(P)
+            return None
+        hh = f.sqr(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(u1, hh)
+        x3 = f.sub(f.sub(f.sqr(r), hhh), f.scalar(v, 2))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(s1, hhh))
+        z3 = f.mul(f.mul(z1, z2), h)
+        return (x3, y3, z3)
+
     def mul(self, p: AffinePoint[F], k: int) -> AffinePoint[F]:
         k %= self.order
-        r = self.infinity
-        base = p
-        while k > 0:
-            if k & 1:
-                r = self.add(r, base)
-            base = self.double(base)
-            k >>= 1
-        return r
+        if k == 0 or p.infinity:
+            return self.infinity
+        # left-to-right double-and-add on Jacobian coords, mixed adds
+        r = None
+        for i in range(k.bit_length() - 1, -1, -1):
+            r = self._j_double(r)
+            if (k >> i) & 1:
+                r = self._j_add_affine(r, p)
+        return self._j_to_affine(r)
+
+    def _j_to_affine_many(self, Ps) -> list[AffinePoint[F]]:
+        """Batch Jacobian -> affine: one inversion total (Montgomery trick)."""
+        f = self.f
+        idx = [i for i, P in enumerate(Ps) if P is not None]
+        zs = [Ps[i][2] for i in idx]
+        # prefix products
+        pre = []
+        acc = f.one
+        for z in zs:
+            acc = f.mul(acc, z)
+            pre.append(acc)
+        inv_acc = f.inv(acc) if zs else f.one
+        zinvs = [f.zero] * len(zs)
+        for j in range(len(zs) - 1, -1, -1):
+            if j == 0:
+                zinvs[0] = inv_acc
+            else:
+                zinvs[j] = f.mul(inv_acc, pre[j - 1])
+                inv_acc = f.mul(inv_acc, zs[j])
+        out = [self.infinity] * len(Ps)
+        for j, i in enumerate(idx):
+            x, y, _ = Ps[i]
+            zi2 = f.sqr(zinvs[j])
+            out[i] = AffinePoint(f.mul(x, zi2), f.mul(y, f.mul(zinvs[j], zi2)))
+        return out
+
+    def fixed_base_mul_many(
+        self, base: AffinePoint[F], scalars: list[int], c: int = 4
+    ) -> list[AffinePoint[F]]:
+        """[k*base for k in scalars] via one shared window table.
+
+        Host counterpart of arkworks' FixedBaseMSM
+        (/root/reference/groth16/src/generator.rs:206-256): build
+        T[w][d] = d * 2^(cw) * base once, then each scalar costs
+        ceil(bits/c) mixed adds and no doublings."""
+        if base.infinity:
+            return [self.infinity] * len(scalars)
+        nbits = self.order.bit_length()
+        nwin = -(-nbits // c)
+        # rows of the table, affine (mixed adds downstream): row w holds
+        # d*2^(cw)*base for d in 1..2^c-1
+        rows_j = []
+        cur = self._j_from_affine(base)
+        for _ in range(nwin):
+            row = [None] * ((1 << c) - 1)
+            row[0] = cur
+            for d in range(1, (1 << c) - 1):
+                row[d] = self._j_add(row[d - 1], cur)
+            rows_j.append(row)
+            cur = self._j_add(row[-1], cur)  # 2^c * (2^(cw) * base)
+        flat = self._j_to_affine_many([e for row in rows_j for e in row])
+        k = (1 << c) - 1
+        rows = [flat[i * k : (i + 1) * k] for i in range(nwin)]
+        outs = []
+        mask = (1 << c) - 1
+        for s in scalars:
+            s %= self.order
+            acc = None
+            for w in range(nwin):
+                d = (s >> (w * c)) & mask
+                if d:
+                    acc = self._j_add_affine(acc, rows[w][d - 1])
+            outs.append(acc)
+        return self._j_to_affine_many(outs)
 
     def msm(self, points: list[AffinePoint[F]], scalars: list[int]) -> AffinePoint[F]:
-        """Naive host MSM (oracle for the TPU Pippenger kernel; small inputs only)."""
-        acc = self.infinity
-        for p, s in zip(points, scalars):
-            acc = self.add(acc, self.mul(p, s))
-        return acc
+        """Host Pippenger MSM (Jacobian buckets, one final inversion).
+
+        Oracle/CPU path for the TPU Pippenger kernel (ops/msm.py); same
+        window/bucket structure as arkworks' VariableBaseMSM
+        (/root/reference/curve/src/lib.rs:38-45 delegates there).
+        """
+        pairs = [
+            (p, s % self.order)
+            for p, s in zip(points, scalars)
+            if not p.infinity and s % self.order
+        ]
+        if not pairs:
+            return self.infinity
+        if len(pairs) == 1:
+            return self.mul(*pairs[0])
+        n = len(pairs)
+        c = min(13, max(3, n.bit_length() - 2))
+        nbits = self.order.bit_length()
+        nwin = -(-nbits // c)
+        total = None
+        for w in range(nwin - 1, -1, -1):
+            if total is not None:
+                for _ in range(c):
+                    total = self._j_double(total)
+            buckets: dict[int, Any] = {}
+            shift = w * c
+            mask = (1 << c) - 1
+            for p, s in pairs:
+                d = (s >> shift) & mask
+                if d:
+                    buckets[d] = self._j_add_affine(buckets.get(d), p)
+            if not buckets:
+                continue
+            # running-sum bucket reduction: sum_d d*B_d
+            acc = None
+            wsum = None
+            for d in range(max(buckets), 0, -1):
+                b = buckets.get(d)
+                if b is not None:
+                    acc = self._j_add(acc, b)
+                wsum = self._j_add(wsum, acc)
+            total = self._j_add(total, wsum)
+        return self._j_to_affine(total)

@@ -498,7 +498,7 @@ class DeviceCurveGroup:
             n = scalars.shape[0]
             if n <= self.small_host_threshold:
                 ss = self._scalars_host(scalars)
-                pts = [self.host_group.mul(table.base_affine, s) for s in ss]
+                pts = self.host_group.fixed_base_mul_many(table.base_affine, ss)
                 return self.encode_points(pts)
             table = table.table
         n = scalars.shape[0]
