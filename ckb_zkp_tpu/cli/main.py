@@ -29,8 +29,8 @@ def _resolve_curve(name: str, scheme: str | None = None):
     the reference's zkp-curve25519 configurations.
     """
     if name == "curve25519":
-        if scheme == "groth16":
-            raise SystemExit("groth16 needs a pairing curve (bn254|bls12_381)")
+        if scheme in ("groth16", "marlin", "plonk"):
+            raise SystemExit(f"{scheme} needs a pairing curve (bn254|bls12_381)")
         from ..host.ristretto import Curve25519
 
         return Curve25519()
@@ -57,7 +57,54 @@ def _circuit(name: str, curve, args: list[str], power_on: bool):
     raise SystemExit(f"unknown circuit {name!r} (expected mini|hash)")
 
 
-SCHEMES = ("groth16", "bulletproofs", "spartan_snark", "spartan_nizk")
+SCHEMES = (
+    "groth16", "bulletproofs", "spartan_snark", "spartan_nizk",
+    "marlin", "plonk",
+)
+
+
+# ---- universal-SRS persistence (marlin/plonk KZG powers live on device;
+# artifacts store host affine points and re-encode on load) ----
+
+def _srs_to_portable(srs):
+    from ..ops.msm import device_group
+
+    dg1 = device_group(srs.curve, "g1")
+    return (
+        dg1.decode_points(srs.powers_of_g),
+        dg1.decode_points(srs.powers_of_gamma_g),
+        srs.g, srs.gamma_g, srs.h, srs.beta_h,
+    )
+
+
+def _srs_from_portable(curve, blob):
+    from ..ops.msm import device_group
+    from ..schemes import kzg10
+
+    powers_g, powers_gamma, g, gamma_g, h, beta_h = blob
+    dg1 = device_group(curve, "g1")
+    return kzg10.UniversalParams(
+        curve=curve,
+        powers_of_g=dg1.encode_points(powers_g),
+        powers_of_gamma_g=dg1.encode_points(powers_gamma),
+        g=g, gamma_g=gamma_g, h=h, beta_h=beta_h,
+    )
+
+
+def _mini_composer(p: int, x: int, y: int, z: int):
+    """PLONK mini circuit: x * (y + 2) = z, z public (composer gates —
+    PLONK has its own front-end, like the reference's plonk::Composer)."""
+    from ..schemes.plonk import Composer
+
+    cs = Composer(p)
+    vx = cs.alloc_and_assign(x)
+    vy = cs.alloc_and_assign(y)
+    vt = cs.alloc_and_assign((y + 2) % p)
+    vz = cs.alloc_and_assign(x * (y + 2) % p)
+    cs.create_add_gate((vy, 1), (vy, 0), vt, q_c=2)  # t = y + 2
+    cs.create_mul_gate(vx, vt, vz)  # x * t = z_wire
+    cs.constrain_to_constant(vz, 0, pi=z)  # bind z_wire to the public input
+    return cs
 
 
 def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None = None):
@@ -94,7 +141,33 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
         path.write_bytes(struct_codec.encode(curve, (params, r1cs)))
         print(f"wrote {path}")
         return (path,)
-    raise SystemExit(f"setup supports groth16|spartan_snark|spartan_nizk, not {scheme!r}")
+    if scheme == "marlin":
+        from ..schemes import marlin
+        from ..schemes.marlin import ahp as marlin_ahp
+
+        probe = marlin_ahp.index(curve.fr, circuit)
+        srs = marlin.universal_setup(curve, probe.max_degree(), rng)
+        path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
+        path.write_bytes(struct_codec.encode(curve, _srs_to_portable(srs)))
+        print(f"wrote {path}")
+        return (path,)
+    if scheme == "plonk":
+        if circuit_name != "mini":
+            raise SystemExit("plonk CLI supports the mini circuit only")
+        from ..ops.hdomain import HDomain
+        from ..schemes.plonk import Plonk
+
+        cs = _mini_composer(curve.fr.modulus, 0, 0, 0)
+        max_degree = 4 * HDomain(curve.fr, cs.size()).size
+        srs = Plonk.setup(curve, max_degree, rng)
+        path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
+        path.write_bytes(struct_codec.encode(curve, _srs_to_portable(srs)))
+        print(f"wrote {path}")
+        return (path,)
+    raise SystemExit(
+        "setup supports groth16|spartan_snark|spartan_nizk|marlin|plonk, "
+        f"not {scheme!r}"
+    )
 
 
 def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], seed=None):
@@ -126,6 +199,37 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
             setup.encode, setup.encode_commit, *hashes, rng,
         )
         proof_hex = struct_codec.encode(curve, (proof, hashes)).hex()
+    elif scheme == "marlin":
+        from ..schemes import marlin
+        from ..serialize.ark_schemes import ark_encode
+
+        srs = _srs_from_portable(
+            curve, struct_codec.decode(
+                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+            )
+        )
+        circuit_off, _ = _circuit(circuit_name, curve, [], power_on=False)
+        ipk, _ivk = marlin.index(srs, circuit_off)
+        proof = marlin.create_random_proof(ipk, circuit, rng)
+        proof_hex = ark_encode(curve, proof).hex()
+    elif scheme == "plonk":
+        if circuit_name != "mini":
+            raise SystemExit("plonk CLI supports the mini circuit only")
+        from ..schemes.plonk import Plonk, default_ks
+        from ..schemes.plonk import serialize as pser
+
+        p = curve.fr.modulus
+        x, y, z = (int(a) for a in args[:3])
+        srs = _srs_from_portable(
+            curve, struct_codec.decode(
+                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+            )
+        )
+        cs = _mini_composer(p, x, y, z)
+        pk, _vk = Plonk.keygen(curve, srs, cs, default_ks(p))
+        proof = Plonk.prove(curve, pk, cs, rng)
+        proof_hex = pser.proof_to_bytes(curve, proof).hex()
+        publics = [z]
     else:  # spartan_nizk
         params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
         )
@@ -176,6 +280,33 @@ def verify_cmd(proof_file: str) -> bool:
             curve, setup.params, setup.r1cs, publics, proof,
             setup.encode_commit, *hashes,
         )
+    elif scheme == "marlin":
+        from ..schemes import marlin
+        from ..serialize.ark_schemes import ark_decode
+
+        srs = _srs_from_portable(
+            curve, struct_codec.decode(
+                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+            )
+        )
+        circuit_off, _ = _circuit(payload["circuit"], curve, [], power_on=False)
+        _ipk, ivk = marlin.index(srs, circuit_off)
+        proof = ark_decode(curve, bytes.fromhex(payload["proof"]), marlin.Proof)
+        ok = marlin.verify_proof(ivk, proof, publics)
+    elif scheme == "plonk":
+        from ..schemes.plonk import Plonk, default_ks
+        from ..schemes.plonk import serialize as pser
+
+        p = curve.fr.modulus
+        srs = _srs_from_portable(
+            curve, struct_codec.decode(
+                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+            )
+        )
+        cs = _mini_composer(p, 0, 0, publics[0] if publics else 0)
+        _pk, vk = Plonk.keygen(curve, srs, cs, default_ks(p))
+        proof = pser.proof_from_bytes(curve, bytes.fromhex(payload["proof"]))
+        ok = Plonk.verify(curve, vk, cs.public_inputs(), proof)
     else:  # spartan_nizk
         params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
         )

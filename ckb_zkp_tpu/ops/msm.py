@@ -498,7 +498,11 @@ class DeviceCurveGroup:
             n = scalars.shape[0]
             if n <= self.small_host_threshold:
                 ss = self._scalars_host(scalars)
-                pts = self.host_group.fixed_base_mul_many(table.base_affine, ss)
+                fb_many = getattr(self.host_group, "fixed_base_mul_many", None)
+                if fb_many is not None:
+                    pts = fb_many(table.base_affine, ss)
+                else:
+                    pts = [self.host_group.mul(table.base_affine, s) for s in ss]
                 return self.encode_points(pts)
             table = table.table
         n = scalars.shape[0]

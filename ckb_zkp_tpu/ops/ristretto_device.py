@@ -56,6 +56,10 @@ class DeviceRistrettoGroup(DeviceCurveGroup):
         # so fixed-base outputs need no normalization
         self._normalize_jit = lambda P: P
 
+    def _normalize(self, P):
+        # extended-Edwards (X, Y, Z, T): generic Z is fine downstream
+        return P
+
     # ------------- point ops (twisted Edwards, a = -1) -------------
     def p_add(self, a, b):
         return ed_add(self.fq, self._d2, a, b)

@@ -12,10 +12,9 @@ import pytest
 from ckb_zkp_tpu.cli import prove_cmd, setup_cmd, verify_cmd
 
 
-def test_cli_groth16_mini_roundtrip(tmp_path, monkeypatch):
-    monkeypatch.chdir(tmp_path)
-    setup_cmd("groth16", "bn254", "mini", seed=5)
-    proof_file = prove_cmd("groth16", "bn254", "mini", ["2", "3", "10"], seed=6)
+def _roundtrip(scheme: str, curve: str = "bn254"):
+    setup_cmd(scheme, curve, "mini", seed=5)
+    proof_file = prove_cmd(scheme, curve, "mini", ["2", "3", "10"], seed=6)
     assert verify_cmd(str(proof_file))
     # tampering with the public input must fail
     payload = json.loads(proof_file.read_text())
@@ -24,3 +23,18 @@ def test_cli_groth16_mini_roundtrip(tmp_path, monkeypatch):
     payload["params"] = bytes(raw).hex()
     proof_file.write_text(json.dumps(payload))
     assert not verify_cmd(str(proof_file))
+
+
+def test_cli_groth16_mini_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("groth16")
+
+
+def test_cli_marlin_mini_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("marlin")
+
+
+def test_cli_plonk_mini_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("plonk")
