@@ -328,21 +328,17 @@ class WeierstrassGroup(Generic[F]):
             out[i] = AffinePoint(f.mul(x, zi2), f.mul(y, f.mul(zinvs[j], zi2)))
         return out
 
-    def fixed_base_mul_many(
-        self, base: AffinePoint[F], scalars: list[int], c: int = 4
-    ) -> list[AffinePoint[F]]:
-        """[k*base for k in scalars] via one shared window table.
+    def window_table(
+        self, base: AffinePoint[F], c: int, nwin: int
+    ) -> list[list[AffinePoint[F]]]:
+        """Fixed-base window table rows T[w][d] = d * 2^(cw) * base, affine.
 
-        Host counterpart of arkworks' FixedBaseMSM
-        (/root/reference/groth16/src/generator.rs:206-256): build
-        T[w][d] = d * 2^(cw) * base once, then each scalar costs
-        ceil(bits/c) mixed adds and no doublings."""
+        Row w has 2^c entries, d = 0 (infinity) .. 2^c - 1. Host counterpart
+        of arkworks' FixedBaseMSM table
+        (/root/reference/groth16/src/generator.rs:206-256); one batch
+        normalization (single inversion) for the whole table."""
         if base.infinity:
-            return [self.infinity] * len(scalars)
-        nbits = self.order.bit_length()
-        nwin = -(-nbits // c)
-        # rows of the table, affine (mixed adds downstream): row w holds
-        # d*2^(cw)*base for d in 1..2^c-1
+            return [[self.infinity] * (1 << c) for _ in range(nwin)]
         rows_j = []
         cur = self._j_from_affine(base)
         for _ in range(nwin):
@@ -354,7 +350,20 @@ class WeierstrassGroup(Generic[F]):
             cur = self._j_add(row[-1], cur)  # 2^c * (2^(cw) * base)
         flat = self._j_to_affine_many([e for row in rows_j for e in row])
         k = (1 << c) - 1
-        rows = [flat[i * k : (i + 1) * k] for i in range(nwin)]
+        return [
+            [self.infinity] + flat[i * k : (i + 1) * k] for i in range(nwin)
+        ]
+
+    def fixed_base_mul_many(
+        self, base: AffinePoint[F], scalars: list[int], c: int = 4
+    ) -> list[AffinePoint[F]]:
+        """[k*base for k in scalars] via one shared window table: each scalar
+        costs ceil(bits/c) mixed adds and no doublings."""
+        if base.infinity:
+            return [self.infinity] * len(scalars)
+        nbits = self.order.bit_length()
+        nwin = -(-nbits // c)
+        rows = [row[1:] for row in self.window_table(base, c, nwin)]
         outs = []
         mask = (1 << c) - 1
         for s in scalars:

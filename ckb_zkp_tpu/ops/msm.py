@@ -84,9 +84,13 @@ class DeviceCurveGroup:
         self.small_host_threshold = (
             512 if jax.default_backend() == "cpu" else 4096
         )
-        # chunk size for fixed-base batches (full-width EC adds materialize
-        # (N, L, L) mul temporaries — G2 at 2^18 OOMs HBM unchunked)
-        self._fb_chunk = (1 << 15) if group == "g1" else (1 << 14)
+        # chunk size for fixed-base batches. The pallas mixed-add path keeps
+        # temporaries in VMEM, so big chunks are fine; the XLA fallback
+        # materializes (N, L, L) mul temporaries (G2 at 2^18 OOMs unchunked)
+        if self.fq.use_pallas:
+            self._fb_chunk = 1 << 16
+        else:
+            self._fb_chunk = (1 << 15) if group == "g1" else (1 << 14)
         self._msm_jit = jax.jit(self._msm_impl)
         self._fixed_base_jit = jax.jit(self._fixed_base_impl)
         self._fixed_base_chunked_jit = jax.jit(self._fixed_base_chunked)
@@ -459,14 +463,26 @@ class DeviceCurveGroup:
     def _fixed_base_impl(self, table, scalars):
         """scalars: (N, L) canonical limbs -> (N,) affine-encoded points.
 
+        Table rows are affine-encoded (host-built, window_table), so the
+        accumulate is a fused mixed add (9M+8S) where pallas applies; the
+        d = 0 row entry is infinity, masked by digit == 0.
+
         Normalization (Jacobian -> Z in {0, 1}) is fused into the same
         compiled graph: downstream variable-base MSMs assume affine encoding
         (arkworks `batch_normalization` parity, generator.rs:270)."""
         n = scalars.shape[0]
+        use_madd = self._affine_leaves and n >= 256
 
         def body(w, acc):
             digits = self._digits(scalars, w).astype(jnp.int32)
             row = jax.tree.map(lambda t: t[w], table)
+            if use_madd:
+                from .pallas_ec import ec_madd_pallas
+
+                X, Y, _Z = row
+                return ec_madd_pallas(
+                    self.cf, acc, (X[digits], Y[digits], digits == 0)
+                )
             picked = jax.tree.map(lambda t: t[digits], row)
             return self.p_add(acc, picked)
 
@@ -521,9 +537,25 @@ class DeviceCurveGroup:
         return jax.tree.map(lambda c: c[:n], out)
 
     def fixed_base_table(self, base_affine: AffinePoint):
-        base = self.encode_points([base_affine])
-        base = jax.tree.map(lambda c: c[0], base)
-        return self._table(base)
+        """Window table T[w, d] = d * 2^(cw) * base, affine-encoded.
+
+        Built on HOST (Jacobian + one batch inversion, ~0.2 s) and uploaded:
+        the device scan build executed in ~42 s (G1) / ~146 s (G2) through
+        the TPU tunnel and cost two compiled programs. Backends whose host
+        group lacks `window_table` (ristretto) keep the device build."""
+        wt = getattr(self.host_group, "window_table", None)
+        if wt is None:
+            base = self.encode_points([base_affine])
+            base = jax.tree.map(lambda c: c[0], base)
+            return self._table(base)
+        rows = wt(base_affine, self.c, self.nwindows)
+        enc = self.encode_points([pt for row in rows for pt in row])
+        return jax.tree.map(
+            lambda c: jnp.asarray(c).reshape(
+                self.nwindows, self.nb, *c.shape[1:]
+            ),
+            enc,
+        )
 
     def fixed_base(self, base_affine: AffinePoint) -> "FixedBase":
         """Lazy fixed-base context: the device window table is only built on

@@ -112,12 +112,17 @@ def generate_parameters_from_shape(
             l_s = jnp.where(
                 is_input, 0, fr.mul(contrib, fr.const(delta_inv, (1,)))
             )
+            # h padded up to the query width ncp when ncp >= m: ONE compiled
+            # fixed-base program and ONE compiled Pippenger program then
+            # serve all five queries — each distinct shape costs a separate
+            # executable and a multi-second program load through the TPU
+            # tunnel. The logical h has m-1 entries; padding scalars are
+            # zero (infinity points).
+            hpad = max(ncp, qap.m)
             h_s = fr.mul(
-                fr.powers(t, qap.m), fr.const(zt * delta_inv % p, (1,))
+                fr.powers(t, hpad), fr.const(zt * delta_inv % p, (1,))
             )
-            # logical h has m-1 entries; zero the top scalar (pairs with an
-            # infinity query point either way)
-            h_s = jnp.where((jnp.arange(qap.m) < qap.m - 1)[:, None], h_s, 0)
+            h_s = jnp.where((jnp.arange(hpad) < qap.m - 1)[:, None], h_s, 0)
             return (
                 fr.from_mont(u),
                 fr.from_mont(v),

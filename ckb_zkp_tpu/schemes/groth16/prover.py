@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import random
 
+import jax.numpy as jnp
+
 from ...host.curves import AffinePoint
 from ...ops.field import device_field
 from ...ops.msm import device_group
@@ -98,6 +100,13 @@ def create_proof_from_shape(
         h_can = fr.from_mont(h)
         if not padded:
             h_can = h_can[: qap.m - 1]
+        elif qap.num_cols_pad > qap.m:
+            # h_query is padded to the shared query width (generator.py);
+            # pad h the same so every G1 MSM runs the one compiled program
+            h_can = jnp.concatenate(
+                [h_can, jnp.zeros((qap.num_cols_pad - qap.m, h_can.shape[1]),
+                                  h_can.dtype)], axis=0
+            )
 
         if mesh is not None:
             from ...parallel.msm import msm_sharded
