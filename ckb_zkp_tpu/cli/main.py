@@ -303,7 +303,11 @@ def verify_cmd(proof_file: str) -> bool:
                 curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
             )
         )
-        cs = _mini_composer(p, 0, 0, publics[0] if publics else 0)
+        if not publics:
+            # mirror the prove-side arity check: a missing 'params' field is
+            # a malformed payload, not a proof about z = 0 (ADVICE r2)
+            raise SystemExit("plonk proof payload carries no public input")
+        cs = _mini_composer(p, 0, 0, publics[0])
         _pk, vk = Plonk.keygen(curve, srs, cs, default_ks(p))
         proof = pser.proof_from_bytes(curve, bytes.fromhex(payload["proof"]))
         ok = Plonk.verify(curve, vk, cs.public_inputs(), proof)

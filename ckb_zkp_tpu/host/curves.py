@@ -337,6 +337,7 @@ class WeierstrassGroup(Generic[F]):
         of arkworks' FixedBaseMSM table
         (/root/reference/groth16/src/generator.rs:206-256); one batch
         normalization (single inversion) for the whole table."""
+        assert c >= 1, "window size must be at least 1 bit"
         if base.infinity:
             return [[self.infinity] * (1 << c) for _ in range(nwin)]
         rows_j = []
@@ -363,7 +364,17 @@ class WeierstrassGroup(Generic[F]):
             return [self.infinity] * len(scalars)
         nbits = self.order.bit_length()
         nwin = -(-nbits // c)
-        rows = [row[1:] for row in self.window_table(base, c, nwin)]
+        # memoize the shared window table: protocol layers call this
+        # repeatedly for the same generator point (ADVICE r2)
+        cache = getattr(self, "_fb_table_cache", None)
+        if cache is None:
+            cache = self._fb_table_cache = {}
+        key = (base.x, base.y, c, nwin)
+        rows = cache.get(key)
+        if rows is None:
+            rows = [row[1:] for row in self.window_table(base, c, nwin)]
+            if len(cache) < 16:
+                cache[key] = rows
         outs = []
         mask = (1 << c) - 1
         for s in scalars:
