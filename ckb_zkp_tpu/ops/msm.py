@@ -40,12 +40,177 @@ from .ec import (
     point_select,
     to_affine,
 )
+from .rcb import RcbGroup, rcb_group
 from .scan_utils import (
     blocked_reduce,
     blocked_scan,
     hs_scan,
     prefix_at_indices,
 )
+
+
+# ---------------------------------------------------------------- MSM v2
+# Pippenger over RCB complete projective formulas (ops/rcb.py). Per window:
+# sort by digit, ONE pallas scan launch produces every within-block prefix W
+# plus block totals T; bucket-boundary prefixes E_b are then one gather plus
+# one wide add (E_b = block_prefix[g_b - 1] + W[q_b]); the bucket weighting
+# telescopes to (nb-1) * E_last - sum(E_b). All wide EC ops are single fused
+# kernel launches; everything below 256 lanes stays XLA-fused (zero launch
+# cost). Window size adapts to N (16-bit windows = one scalar limb when the
+# bucket machinery amortizes, 8-bit below).
+
+_RCB_B = 32  # scan-kernel block: elements per in-register accumulation
+
+
+def _rcb_align(rg) -> int:
+    from .pallas_rcb import scan_tile_align
+
+    ext = 2 if hasattr(rg.cf, "df") else 1
+    return _RCB_B * scan_tile_align(ext)
+
+
+def _rcb_kernel_ok(rg, n: int) -> bool:
+    df = getattr(rg.cf, "df", rg.cf)
+    return df.use_pallas and n % _rcb_align(rg) == 0
+
+
+def _wide_batch(rg, p) -> int:
+    import math
+
+    ndrop = 2 if hasattr(rg.cf, "df") else 1
+    return math.prod(p[0].shape[:-ndrop])
+
+
+def _wide_add(rg, p, q):
+    from .pallas_field import PALLAS_MIN_BATCH
+    from .pallas_rcb import rcb_add_pallas
+
+    df = getattr(rg.cf, "df", rg.cf)
+    if df.use_pallas and _wide_batch(rg, p) >= PALLAS_MIN_BATCH:
+        return rcb_add_pallas(rg, p, q)
+    return rg.add(p, q)
+
+
+def _pad_leading(pts, n_to: int, fill):
+    n = jax.tree.leaves(pts)[0].shape[0]
+    if n == n_to:
+        return pts
+    return jax.tree.map(
+        lambda c, f: jnp.concatenate(
+            [c, jnp.broadcast_to(f, (n_to - n, *f.shape))], axis=0
+        ),
+        tuple(pts),
+        fill,
+    )
+
+
+def _scan_prefix_madd(rg, leaves, B: int):
+    """Sorted affine leaves -> (w_get(q) -> prefix points, T (G,) totals)."""
+    from .pallas_rcb import rcb_scan_prefix_madd
+
+    n = leaves[0].shape[0] if leaves[2].ndim == 1 else None
+    n = leaves[2].shape[0]
+    if _rcb_kernel_ok(rg, n):
+        return rcb_scan_prefix_madd(rg, leaves, B)
+    npad = -(-n // B) * B
+    X, Y, inf = leaves
+    if npad != n:
+        X = jnp.concatenate([X, jnp.zeros((npad - n, *X.shape[1:]), X.dtype)], 0)
+        Y = jnp.concatenate([Y, jnp.zeros((npad - n, *Y.shape[1:]), Y.dtype)], 0)
+        inf = jnp.concatenate([inf, jnp.ones((npad - n,), bool)], 0)
+    G = npad // B
+
+    def to_bg(c):
+        return jnp.moveaxis(c.reshape(G, B, *c.shape[1:]), 1, 0)
+
+    def step(acc, leaf):
+        nxt = rg.madd(acc, leaf)
+        return nxt, nxt
+
+    T, W = jax.lax.scan(
+        step, rg.identity((G,)), (to_bg(X), to_bg(Y), to_bg(inf))
+    )
+
+    def w_get(q):
+        return jax.tree.map(lambda c: c[q % B, q // B], W)
+
+    return w_get, T
+
+
+def _full_prefix(rg, pts, B: int):
+    """Inclusive prefix over (n,) projective points."""
+    from .pallas_rcb import rcb_scan_prefix_add
+
+    n = jax.tree.leaves(pts)[0].shape[0]
+    if n <= 2 * B:
+        def step(acc, x):
+            nxt = rg.add(acc, x)
+            return nxt, nxt
+
+        _, P = jax.lax.scan(step, rg.identity(()), tuple(pts))
+        return P
+    if _rcb_kernel_ok(rg, n):
+        W, T = rcb_scan_prefix_add(rg, pts, B)
+    else:
+        npad = -(-n // B) * B
+        padded = _pad_leading(pts, npad, rg.identity(()))
+        G = npad // B
+
+        def to_bg(c):
+            return jnp.moveaxis(c.reshape(G, B, *c.shape[1:]), 1, 0)
+
+        def step(acc, x):
+            nxt = rg.add(acc, x)
+            return nxt, nxt
+
+        T, Wb = jax.lax.scan(
+            step, rg.identity((G,)), jax.tree.map(to_bg, padded)
+        )
+        W = jax.tree.map(
+            lambda c: jnp.moveaxis(c, 0, 1).reshape(npad, *c.shape[2:])[:n], Wb
+        )
+    P2 = _full_prefix(rg, T, B)
+    Pex = jax.tree.map(
+        lambda c, i: jnp.concatenate([i[None], c[:-1]], axis=0),
+        P2,
+        rg.identity(()),
+    )
+    rep = jax.tree.map(lambda c: jnp.repeat(c, B, axis=0)[:n], Pex)
+    return _wide_add(rg, rep, W)
+
+
+def _reduce_pts(rg, pts, B: int):
+    """Sum of (n,) projective points -> single point."""
+    from .pallas_rcb import rcb_scan_total_add
+
+    n = jax.tree.leaves(pts)[0].shape[0]
+    align = _rcb_align(rg)
+    while n >= align and _rcb_kernel_ok(rg, -(-n // align) * align):
+        npad = -(-n // align) * align
+        pts = _pad_leading(pts, npad, rg.identity(()))
+        pts = rcb_scan_total_add(rg, pts, B)
+        n = npad // B
+    if n == 1:
+        return jax.tree.map(lambda c: c[0], pts)
+    # narrow blocked reduction: every step stays under the pallas dispatch
+    # threshold, so the whole tail is XLA-fused
+    return blocked_reduce(rg.add, tuple(pts), rg.identity(()), block=64)
+
+
+def _scale_pow2_minus1(rg, p, c: int):
+    """(2^c - 1) * p for a single point (tiny, XLA-fused)."""
+    t = jax.lax.fori_loop(0, c, lambda _, a: rg.double(a), p)
+    return rg.add(t, rg.neg(p))
+
+
+def _wide_madd(rg, p, leaves):
+    from .pallas_field import PALLAS_MIN_BATCH
+    from .pallas_rcb import rcb_madd_pallas
+
+    df = getattr(rg.cf, "df", rg.cf)
+    if df.use_pallas and _wide_batch(rg, p) >= PALLAS_MIN_BATCH:
+        return rcb_madd_pallas(rg, p, leaves)
+    return rg.madd(p, leaves)
 
 
 
@@ -75,6 +240,9 @@ class DeviceCurveGroup:
         else:
             raise ValueError(group)
         self._affine_leaves = self.fq.use_pallas
+        # RCB projective MSM engine: short-Weierstrass a = 0 groups only
+        # (Edwards subclasses keep the generic Jacobian path)
+        self._use_rcb = self.host_group.a in (0, (0, 0))
         self.nwindows = self.fr.L * BASE_BITS // self.c
         # below this size, MSMs run on host ints: tiny protocol-layer MSMs
         # would otherwise pile up one XLA compile per shape. On the TPU
@@ -249,7 +417,13 @@ class DeviceCurveGroup:
             pts = self.decode_points_host(P)
             ss = self._scalars_host(scalars)
             return self.encode_point(self.host_group.msm(pts, ss))
-        np2 = max(8, 1 << (n - 1).bit_length())
+        min_n = 8
+        if self._use_rcb and self.fq.use_pallas:
+            # pad every device MSM up to the scan kernels' tile alignment:
+            # one compiled graph serves all mid sizes and the in-kernel path
+            # beats a 32-step XLA scan even on mostly-identity padding
+            min_n = _rcb_align(rcb_group(self))
+        np2 = max(min_n, 1 << (n - 1).bit_length())
         if np2 != n:
             pad = self.p_identity((np2 - n,))
             P = jax.tree.map(
@@ -408,6 +582,66 @@ class DeviceCurveGroup:
         out = self.p_add(before, part2)
         return point_select(self.cf, q >= 0, out, identq)
 
+    # ------------- RCB projective Pippenger (MSM v2) -------------
+    def _msm_window_bits(self, n: int) -> int:
+        """Static window size: 16-bit windows (digit == one scalar limb)
+        once the O(2^c) bucket machinery amortizes, 8-bit below."""
+        return 16 if n >= (1 << 18) else 8
+
+    def _msm_rcb(self, P, scalars):
+        """Pippenger over complete projective adds; returns a Jacobian point.
+
+        Reference hot path: /root/reference/groth16/src/prover.rs:187-190
+        (arkworks VariableBaseMSM). P must be affine-encoded (Z in {0,1})."""
+        rg = rcb_group(self)
+        n = scalars.shape[0]
+        c = self._msm_window_bits(n)
+        nb = 1 << c
+        nwin = self.fr.L * BASE_BITS // c
+        X, Y, Z = P
+        inf = self.cf.is_zero(Z)
+        ident_q = rg.identity((nb,))
+
+        def window(w):
+            bitpos = w * c
+            limb = jnp.take(scalars, bitpos // BASE_BITS, axis=1)
+            digits = (limb >> (bitpos % BASE_BITS)) & jnp.uint32(nb - 1)
+            order = jnp.argsort(digits)
+            d = digits[order]
+            leaves = (X[order], Y[order], inf[order])
+            w_get, T = _scan_prefix_madd(rg, leaves, _RCB_B)
+            pfull = _full_prefix(rg, T, _RCB_B)
+            cnt = jnp.searchsorted(
+                d, jnp.arange(nb, dtype=d.dtype), side="right"
+            )
+            q = cnt.astype(jnp.int32) - 1
+            qc = jnp.maximum(q, 0)
+            e_wb = w_get(qc)
+            g = qc // _RCB_B
+            before = jax.tree.map(
+                lambda c_: c_[jnp.maximum(g - 1, 0)], pfull
+            )
+            before = point_select(self.cf, g > 0, before, ident_q)
+            E = _wide_add(rg, before, e_wb)
+            E = point_select(self.cf, q >= 0, E, ident_q)
+            e_last = jax.tree.map(lambda c_: c_[nb - 1], E)
+            head = jax.tree.map(lambda c_: c_[: nb - 1], E)
+            sum_e = _reduce_pts(rg, head, _RCB_B)
+            t = _scale_pow2_minus1(rg, e_last, c)
+            return rg.add(t, rg.neg(sum_e))
+
+        _, S = jax.lax.scan(
+            lambda carry, w: (None, window(w)), None, jnp.arange(nwin)
+        )
+
+        def outer(i, acc):
+            acc = jax.lax.fori_loop(0, c, lambda _, a: rg.double(a), acc)
+            s_w = jax.tree.map(lambda c_: c_[nwin - 1 - i], S)
+            return rg.add(acc, s_w)
+
+        out = jax.lax.fori_loop(0, nwin, outer, rg.identity(()))
+        return rg.to_jacobian(out)
+
     def _msm_impl(self, P, scalars):
         """P: Jacobian (X,Y,Z) with leading axis N; scalars: (N, L) canonical.
 
@@ -420,6 +654,8 @@ class DeviceCurveGroup:
         runtime): batching windows with vmap multiplies every scan
         intermediate by the window count and blows out HBM at 2^16+ points.
         """
+        if self._use_rcb:
+            return self._msm_rcb(P, scalars)
         W = self.nwindows
         if self._affine_leaves:
             X, Y, Z = P
@@ -471,6 +707,8 @@ class DeviceCurveGroup:
         compiled graph: downstream variable-base MSMs assume affine encoding
         (arkworks `batch_normalization` parity, generator.rs:270)."""
         n = scalars.shape[0]
+        if self._use_rcb:
+            return self._fixed_base_rcb(table, scalars)
         use_madd = self._affine_leaves and n >= 256
 
         def body(w, acc):
@@ -488,6 +726,37 @@ class DeviceCurveGroup:
 
         out = jax.lax.fori_loop(0, self.nwindows, body, self.p_identity((n,)))
         return self._normalize(out)
+
+    def _fixed_base_rcb(self, table, scalars):
+        """Fixed-base accumulation over RCB projective adds: per window one
+        table-row gather plus ONE fused mixed-add launch (the d = 0 row
+        entry is infinity, masked by digit == 0). Output is normalized to
+        the affine-encoded Jacobian form downstream MSMs expect."""
+        rg = rcb_group(self)
+        n = scalars.shape[0]
+
+        def body(w, acc):
+            digits = self._digits(scalars, w).astype(jnp.int32)
+            X, Y, _Z = table
+            row_x, row_y = X[w], Y[w]
+            return _wide_madd(
+                rg, acc, (row_x[digits], row_y[digits], digits == 0)
+            )
+
+        out = jax.lax.fori_loop(0, self.nwindows, body, rg.identity((n,)))
+        return self._normalize_proj(out)
+
+    def _normalize_proj(self, p):
+        """Projective -> affine-encoded Jacobian (Z in {0, one})."""
+        X, Y, Z = p
+        zinv = self.cf.batch_inv(Z)  # zeros stay zero
+        x = self.cf.mul(X, zinv)
+        y = self.cf.mul(Y, zinv)
+        inf = self.cf.is_zero(Z)
+        ones = self.cf.ones(inf.shape)
+        mask = inf[..., None] if self.group == "g1" else inf[..., None, None]
+        z = jnp.where(mask, 0, ones).astype(jnp.uint32)
+        return (x, y, z)
 
     def _fixed_base_chunked(self, table, scalars3):
         """scalars3: (k, C, L) -> (k*C,) points; one traced chunk instance.
@@ -528,8 +797,24 @@ class DeviceCurveGroup:
             scalars = pad_fn(scalars, ((0, np2 - n), (0, 0)))
         chunk = self._fb_chunk
         if np2 > chunk:
-            s3 = scalars.reshape(np2 // chunk, chunk, scalars.shape[-1])
-            out = self._fixed_base_chunked_jit(table, s3)
+            if self._use_rcb:
+                # python-level chunk loop: ONE compiled chunk program serves
+                # every batch size (the lax.scan variant bakes the chunk
+                # count into the executable — a fresh multi-second program
+                # load per circuit size through the TPU tunnel); dispatches
+                # pipeline device-side, the concat is a tiny copy program
+                outs = [
+                    self._fixed_base_jit(
+                        table, scalars[i : i + chunk]
+                    )
+                    for i in range(0, np2, chunk)
+                ]
+                out = jax.tree.map(
+                    lambda *cs: jnp.concatenate(cs, axis=0), *outs
+                )
+            else:
+                s3 = scalars.reshape(np2 // chunk, chunk, scalars.shape[-1])
+                out = self._fixed_base_chunked_jit(table, s3)
         else:
             out = self._fixed_base_jit(table, scalars)
         if pad_output:

@@ -20,6 +20,7 @@ muls) so MSM results re-enter the framework's Jacobian surfaces unchanged.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from .ec import DeviceFq2
@@ -60,7 +61,11 @@ class RcbGroup:
                 self.b3_const = None
             else:
                 self.b3_small = None
-                self.b3_const = df.encode(list(b3)).reshape(1, 2, df.L)
+                # numpy, NOT jnp: RcbGroup may be first built inside a jit
+                # trace, and a traced constant cached here would leak
+                self.b3_const = np.asarray(df.encode(list(b3))).reshape(
+                    2, df.L
+                )
         else:
             assert isinstance(cf, DeviceField)
             p = cf.spec.modulus
@@ -70,7 +75,7 @@ class RcbGroup:
                 self.b3_const = None
             else:
                 self.b3_small = None
-                self.b3_const = cf.encode([b3])
+                self.b3_const = np.asarray(cf.encode([b3])).reshape(cf.L)
 
     # ---- identity (0 : 1 : 0) ----
     def identity(self, batch_shape=()):

@@ -77,7 +77,11 @@ def create_proof_from_shape(
 
         ga_acc = curve.g1.msm(host_pts(dg1, params.a_query, slice(nv)), z)
         gb2_acc = curve.g2.msm(host_pts(dg2, params.b_g2_query, slice(nv)), z)
-        gb1_acc = curve.g1.msm(host_pts(dg1, params.b_g1_query, slice(nv)), z)
+        gb1_acc = (
+            curve.g1.msm(host_pts(dg1, params.b_g1_query, slice(nv)), z)
+            if r != 0
+            else None
+        )
         h_acc = curve.g1.msm(
             host_pts(dg1, params.h_query, slice(qap.m - 1)), h_ints
         )
@@ -121,8 +125,12 @@ def create_proof_from_shape(
             ga_acc = msm1(params.a_query, z_can)
         with stage("groth16/msm_b_g2"):
             gb2_acc = msm2(params.b_g2_query, z_can)
-        with stage("groth16/msm_b_g1"):
-            gb1_acc = msm1(params.b_g1_query, z_can)
+        gb1_acc = None
+        if r != 0:
+            # when r == 0, C has no r*B1 term and the reference skips the
+            # G1 b-query MSM entirely (prover.rs:170-179); match that
+            with stage("groth16/msm_b_g1"):
+                gb1_acc = msm1(params.b_g1_query, z_can)
         with stage("groth16/msm_h"):
             h_acc = msm1(params.h_query, h_can)
         with stage("groth16/msm_l"):
@@ -133,7 +141,8 @@ def create_proof_from_shape(
             )
         ga_acc = dg1.decode_point(ga_acc)
         gb2_acc = dg2.decode_point(gb2_acc)
-        gb1_acc = dg1.decode_point(gb1_acc)
+        if gb1_acc is not None:
+            gb1_acc = dg1.decode_point(gb1_acc)
         h_acc = dg1.decode_point(h_acc)
         l_acc = dg1.decode_point(l_acc)
 
@@ -142,10 +151,13 @@ def create_proof_from_shape(
     a_pt = g1.add(g1.add(params.vk.alpha_g1, ga_acc), g1.mul(params.delta_g1, r))
     # B = beta + sum z_i v_i(t) + s*delta  (G2), B1 same in G1
     b_pt = g2.add(g2.add(params.vk.beta_g2, gb2_acc), g2.mul(params.vk.delta_g2, s))
-    b1_pt = g1.add(g1.add(params.beta_g1, gb1_acc), g1.mul(params.delta_g1, s))
     # C = l_acc + h_acc + s*A + r*B1 - rs*delta
     c_pt = g1.add(l_acc, h_acc)
     c_pt = g1.add(c_pt, g1.mul(a_pt, s))
-    c_pt = g1.add(c_pt, g1.mul(b1_pt, r))
-    c_pt = g1.sub(c_pt, g1.mul(params.delta_g1, r * s % p))
+    if r != 0:
+        b1_pt = g1.add(
+            g1.add(params.beta_g1, gb1_acc), g1.mul(params.delta_g1, s)
+        )
+        c_pt = g1.add(c_pt, g1.mul(b1_pt, r))
+        c_pt = g1.sub(c_pt, g1.mul(params.delta_g1, r * s % p))
     return Proof(a=a_pt, b=b_pt, c=c_pt)

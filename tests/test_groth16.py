@@ -74,3 +74,35 @@ def test_qap_host_path_matches_device(curve):
     u_dev, v_dev, w_dev = (qap.df.decode(x) for x in qap.evaluations_at(t))
     hu, hv, hw = qap.evaluations_at_host(t)
     assert (hu, hv, hw) == (u_dev, v_dev, w_dev)
+
+
+def test_groth16_bench_circuits_end_to_end():
+    """The bench circuits (square chain / product) prove and verify through
+    the shape-level API bench.py drives."""
+    from ckb_zkp_tpu.bench_circuits import (
+        product_circuit_shape,
+        square_chain_shape,
+    )
+    from ckb_zkp_tpu.schemes.groth16.prover import create_proof_from_shape
+
+    curve = get_curve("bn254")
+    p = curve.fr.modulus
+    for mk in (square_chain_shape, product_circuit_shape):
+        shape = mk(64, p)
+        params = groth16.generate_parameters_from_shape(
+            shape, curve, alpha=5, beta=7, gamma=11, delta=13,
+            t=0xABCDEF0123456789,
+        )
+        proof = create_proof_from_shape(params, shape, 0, 0)
+        pvk = groth16.prepare_verifying_key(curve, params.vk)
+        assert groth16.verify_proof(
+            curve, pvk, proof, shape.input_assignment[1:]
+        )
+        bad = list(shape.input_assignment[1:])
+        bad[0] = (bad[0] + 1) % p
+        assert not groth16.verify_proof(curve, pvk, proof, bad)
+        # zk path exercises the r != 0 branch (b_g1 MSM not skipped)
+        proof_zk = create_proof_from_shape(params, shape, 3, 4)
+        assert groth16.verify_proof(
+            curve, pvk, proof_zk, shape.input_assignment[1:]
+        )
