@@ -144,26 +144,42 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
     if scheme == "marlin":
         from ..schemes import marlin
         from ..schemes.marlin import ahp as marlin_ahp
+        from ..serialize.ark_schemes import ark_encode
 
         probe = marlin_ahp.index(curve.fr, circuit)
         srs = marlin.universal_setup(curve, probe.max_degree(), rng)
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
         path.write_bytes(struct_codec.encode(curve, _srs_to_portable(srs)))
-        print(f"wrote {path}")
-        return (path,)
+        # index once at setup and persist the ark-encoded ivk so verify
+        # needs neither the SRS nor an O(n) re-index (zkp_verify.rs parity:
+        # the reference verifier consumes only the vk artifact)
+        circuit2, _ = _circuit(circuit_name, curve, [], power_on=False)
+        _ipk, ivk = marlin.index(srs, circuit2)
+        vk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.vk"
+        vk_path.write_bytes(ark_encode(curve, ivk))
+        print(f"wrote {path} and {vk_path}")
+        return (path, vk_path)
     if scheme == "plonk":
         if circuit_name != "mini":
             raise SystemExit("plonk CLI supports the mini circuit only")
         from ..ops.hdomain import HDomain
         from ..schemes.plonk import Plonk
 
+        from ..schemes.plonk import default_ks
+        from ..schemes.plonk import serialize as pser
+
         cs = _mini_composer(curve.fr.modulus, 0, 0, 0)
         max_degree = 4 * HDomain(curve.fr, cs.size()).size
         srs = Plonk.setup(curve, max_degree, rng)
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
         path.write_bytes(struct_codec.encode(curve, _srs_to_portable(srs)))
-        print(f"wrote {path}")
-        return (path,)
+        # keygen once at setup (vk depends only on the circuit structure)
+        # and persist the ark-encoded vk for verify
+        _pk, vk = Plonk.keygen(curve, srs, cs, default_ks(curve.fr.modulus))
+        vk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.vk"
+        vk_path.write_bytes(pser.vk_to_bytes(curve, vk))
+        print(f"wrote {path} and {vk_path}")
+        return (path, vk_path)
     raise SystemExit(
         "setup supports groth16|spartan_snark|spartan_nizk|marlin|plonk, "
         f"not {scheme!r}"
@@ -185,9 +201,22 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
         proof = groth16.create_random_proof(params, circuit, rng)
         proof_hex = g16ser.proof_to_bytes(curve, proof).hex()
     elif scheme == "bulletproofs":
+        from ..serialize.ark_schemes import S, Tup, ark_encode
+
         gens, r1cs, proof = bulletproofs.create_random_proof(curve, circuit, rng)
-        proof_hex = struct_codec.encode(curve, (gens, r1cs, proof)).hex()
+        # reference blob: gens ++ r1cs ++ proof CanonicalSerialize bytes
+        # (cli/src/zkp_prove.rs:51-59)
+        proof_hex = ark_encode(
+            curve, (gens, r1cs, proof),
+            Tup(
+                S(bulletproofs.Generators),
+                S(bulletproofs.R1csCircuit),
+                S(bulletproofs.Proof),
+            ),
+        ).hex()
     elif scheme == "spartan_snark":
+        from ..serialize.ark_schemes import ark_encode
+
         setup = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes())
         hashes = (
             setup.r1cs.r1cs_to_hash(),
@@ -198,7 +227,9 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
             curve, setup.params, setup.r1cs, circuit,
             setup.encode, setup.encode_commit, *hashes, rng,
         )
-        proof_hex = struct_codec.encode(curve, (proof, hashes)).hex()
+        # reference blob: proof bytes only; hashes are recomputed from the
+        # setup keys at verify (cli/src/zkp_prove.rs:61-78)
+        proof_hex = ark_encode(curve, proof).hex()
     elif scheme == "marlin":
         from ..schemes import marlin
         from ..serialize.ark_schemes import ark_encode
@@ -231,13 +262,15 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
         proof_hex = pser.proof_to_bytes(curve, proof).hex()
         publics = [z]
     else:  # spartan_nizk
+        from ..serialize.ark_schemes import ark_encode
+
         params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
         )
         hashes = (r1cs.r1cs_to_hash(), spartan_nizk.params_to_hash(curve, params))
         proof = spartan_nizk.create_nizk_proof(
             curve, params, r1cs, circuit, *hashes, rng
         )
-        proof_hex = struct_codec.encode(curve, (proof, hashes)).hex()
+        proof_hex = ark_encode(curve, proof).hex()
     PROOF_DIR.mkdir(exist_ok=True)
     out = PROOF_DIR / f"{name}.proof.json"
     payload = {
@@ -271,11 +304,29 @@ def verify_cmd(proof_file: str) -> bool:
         pvk = groth16.prepare_verifying_key(curve, vk)
         ok = groth16.verify_proof(curve, pvk, proof, publics)
     elif scheme == "bulletproofs":
-        gens, r1cs, proof = struct_codec.decode(curve, bytes.fromhex(payload["proof"]))
+        from ..serialize.ark_schemes import S, Tup, ark_decode
+
+        gens, r1cs, proof = ark_decode(
+            curve, bytes.fromhex(payload["proof"]),
+            Tup(
+                S(bulletproofs.Generators),
+                S(bulletproofs.R1csCircuit),
+                S(bulletproofs.Proof),
+            ),
+        )
         ok = bulletproofs.verify_proof(curve, gens, proof, r1cs, publics)
     elif scheme == "spartan_snark":
+        from ..serialize.ark_schemes import ark_decode
+
         setup = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes())
-        proof, hashes = struct_codec.decode(curve, bytes.fromhex(payload["proof"]))
+        proof = ark_decode(
+            curve, bytes.fromhex(payload["proof"]), spartan_snark.SNARKProof
+        )
+        hashes = (
+            setup.r1cs.r1cs_to_hash(),
+            spartan_snark.snark_params_to_hash(curve, setup.params),
+            spartan_snark.encode_to_hash(curve, setup.encode_commit),
+        )
         ok = spartan_snark.verify_snark_proof(
             curve, setup.params, setup.r1cs, publics, proof,
             setup.encode_commit, *hashes,
@@ -284,13 +335,22 @@ def verify_cmd(proof_file: str) -> bool:
         from ..schemes import marlin
         from ..serialize.ark_schemes import ark_decode
 
-        srs = _srs_from_portable(
-            curve, struct_codec.decode(
-                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+        vk_path = SETUP_DIR / f"{name}.vk"
+        if vk_path.exists():
+            # O(1) verify path: the ark-encoded ivk written at setup
+            ivk = ark_decode(
+                curve, vk_path.read_bytes(), marlin.IndexVerifierKey
             )
-        )
-        circuit_off, _ = _circuit(payload["circuit"], curve, [], power_on=False)
-        _ipk, ivk = marlin.index(srs, circuit_off)
+        else:  # legacy artifacts: derive the ivk from the universal SRS
+            srs = _srs_from_portable(
+                curve, struct_codec.decode(
+                    curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+                )
+            )
+            circuit_off, _ = _circuit(
+                payload["circuit"], curve, [], power_on=False
+            )
+            _ipk, ivk = marlin.index(srs, circuit_off)
         proof = ark_decode(curve, bytes.fromhex(payload["proof"]), marlin.Proof)
         ok = marlin.verify_proof(ivk, proof, publics)
     elif scheme == "plonk":
@@ -298,25 +358,36 @@ def verify_cmd(proof_file: str) -> bool:
         from ..schemes.plonk import serialize as pser
 
         p = curve.fr.modulus
-        srs = _srs_from_portable(
-            curve, struct_codec.decode(
-                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
-            )
-        )
         if not publics:
             # mirror the prove-side arity check: a missing 'params' field is
             # a malformed payload, not a proof about z = 0 (ADVICE r2)
             raise SystemExit("plonk proof payload carries no public input")
+        # the composer is rebuilt only for the public-input vector layout
+        # (O(gates)); the vk itself is the setup artifact
         cs = _mini_composer(p, 0, 0, publics[0])
-        _pk, vk = Plonk.keygen(curve, srs, cs, default_ks(p))
+        vk_path = SETUP_DIR / f"{name}.vk"
+        if vk_path.exists():
+            vk = pser.vk_from_bytes(curve, vk_path.read_bytes())
+        else:  # legacy artifacts: keygen from the universal SRS
+            srs = _srs_from_portable(
+                curve, struct_codec.decode(
+                    curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+                )
+            )
+            _pk, vk = Plonk.keygen(curve, srs, cs, default_ks(p))
         proof = pser.proof_from_bytes(curve, bytes.fromhex(payload["proof"]))
         ok = Plonk.verify(curve, vk, cs.public_inputs(), proof)
     else:  # spartan_nizk
+        from ..serialize.ark_schemes import ark_decode
+
         params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
         )
-        proof, hashes = struct_codec.decode(curve, bytes.fromhex(payload["proof"]))
+        proof = ark_decode(
+            curve, bytes.fromhex(payload["proof"]), spartan_nizk.NIZKProof
+        )
         ok = spartan_nizk.verify_nizk_proof(
-            curve, params, r1cs, publics, proof, *hashes
+            curve, params, r1cs, publics, proof,
+            r1cs.r1cs_to_hash(), spartan_nizk.params_to_hash(curve, params),
         )
     print("verify:", ok)
     return ok

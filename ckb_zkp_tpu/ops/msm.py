@@ -137,21 +137,29 @@ def _scan_prefix_madd(rg, leaves, B: int):
     return w_get, T
 
 
+def _kernel_capable(rg) -> bool:
+    df = getattr(rg.cf, "df", rg.cf)
+    return df.use_pallas
+
+
 def _full_prefix(rg, pts, B: int):
-    """Inclusive prefix over (n,) projective points."""
+    """Inclusive prefix over (n,) projective points.
+
+    Kernel path: pad to the scan-tile alignment (identity padding), ONE scan
+    launch for every level, and recurse on the REAL block totals only (the
+    padded lanes produce identity totals) — no narrow sequential scans
+    anywhere above the tiny (<= 2B) bottom."""
     from .pallas_rcb import rcb_scan_prefix_add
 
     n = jax.tree.leaves(pts)[0].shape[0]
-    if n <= 2 * B:
-        def step(acc, x):
-            nxt = rg.add(acc, x)
-            return nxt, nxt
+    if n <= 2 * B or not _kernel_capable(rg):
+        if n <= 2 * B:
+            def step(acc, x):
+                nxt = rg.add(acc, x)
+                return nxt, nxt
 
-        _, P = jax.lax.scan(step, rg.identity(()), tuple(pts))
-        return P
-    if _rcb_kernel_ok(rg, n):
-        W, T = rcb_scan_prefix_add(rg, pts, B)
-    else:
+            _, P = jax.lax.scan(step, rg.identity(()), tuple(pts))
+            return P
         npad = -(-n // B) * B
         padded = _pad_leading(pts, npad, rg.identity(()))
         G = npad // B
@@ -169,6 +177,16 @@ def _full_prefix(rg, pts, B: int):
         W = jax.tree.map(
             lambda c: jnp.moveaxis(c, 0, 1).reshape(npad, *c.shape[2:])[:n], Wb
         )
+        g_real = -(-n // B)
+        T = jax.tree.map(lambda c: c[:g_real], T)
+    else:
+        align = _rcb_align(rg)
+        npad = -(-n // align) * align
+        padded = _pad_leading(pts, npad, rg.identity(()))
+        W, T = rcb_scan_prefix_add(rg, padded, B)
+        g_real = -(-n // B)
+        W = jax.tree.map(lambda c: c[:n], W)
+        T = jax.tree.map(lambda c: c[:g_real], T)
     P2 = _full_prefix(rg, T, B)
     Pex = jax.tree.map(
         lambda c, i: jnp.concatenate([i[None], c[:-1]], axis=0),
@@ -180,20 +198,22 @@ def _full_prefix(rg, pts, B: int):
 
 
 def _reduce_pts(rg, pts, B: int):
-    """Sum of (n,) projective points -> single point."""
+    """Sum of (n,) projective points -> single point (same pad+slice
+    structure as _full_prefix: one totals launch per level)."""
     from .pallas_rcb import rcb_scan_total_add
 
     n = jax.tree.leaves(pts)[0].shape[0]
     align = _rcb_align(rg)
-    while n >= align and _rcb_kernel_ok(rg, -(-n // align) * align):
+    while n > 2 * B and _kernel_capable(rg):
         npad = -(-n // align) * align
         pts = _pad_leading(pts, npad, rg.identity(()))
         pts = rcb_scan_total_add(rg, pts, B)
-        n = npad // B
+        n = -(-n // B)
+        pts = jax.tree.map(lambda c: c[:n], pts)
     if n == 1:
         return jax.tree.map(lambda c: c[0], pts)
-    # narrow blocked reduction: every step stays under the pallas dispatch
-    # threshold, so the whole tail is XLA-fused
+    # CPU fallback / tiny tail: widths stay under the pallas threshold, so
+    # the whole reduction is XLA-fused
     return blocked_reduce(rg.add, tuple(pts), rg.identity(()), block=64)
 
 
@@ -256,7 +276,9 @@ class DeviceCurveGroup:
         # temporaries in VMEM, so big chunks are fine; the XLA fallback
         # materializes (N, L, L) mul temporaries (G2 at 2^18 OOMs unchunked)
         if self.fq.use_pallas:
-            self._fb_chunk = 1 << 16
+            # RCB chunk program streams blocks through VMEM, so big chunks
+            # only cost HBM; fewer chunks = fewer per-launch overheads
+            self._fb_chunk = 1 << 18
         else:
             self._fb_chunk = (1 << 15) if group == "g1" else (1 << 14)
         self._msm_jit = jax.jit(self._msm_impl)

@@ -41,7 +41,7 @@ from .pallas_field import (
     _select_rows,
     _sub_rows,
 )
-from .pallas_ec import _F, _one_mont, _scan_vmem_params
+from .pallas_ec import _F, _one_mont
 
 _INTERPRET = os.environ.get("CKB_ZKP_TPU_PALLAS_INTERPRET", "0") not in ("", "0")
 
@@ -334,14 +334,14 @@ def _scan_fn(kind, ext, B, sb, p_limbs, np_limbs, b3_small, b3_limbs):
         out_specs = ((_bspec(B, R, sb),) * 3 if with_w else ()) + (
             _spec(R, sb),
         ) * 3
-        kwargs = {}
-        params = _scan_vmem_params(ext)
-        if params is not None:
-            kwargs["compiler_params"] = params
+        # W outputs double-buffer on top of the inputs: at B = 32 the
+        # working set is ~21 MB for G1 and ~2x for G2 — beyond the default
+        # 16 MB scoped-VMEM cap (v5e has far more physical VMEM)
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             kern, out_shape=out_shape, grid=(g128 // sb,),
             in_specs=in_specs, out_specs=out_specs,
-            interpret=_INTERPRET, **kwargs,
+            interpret=_INTERPRET, compiler_params=params,
         )(*ins)
 
     return run

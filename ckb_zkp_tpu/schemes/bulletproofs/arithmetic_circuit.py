@@ -50,6 +50,29 @@ class R1csCircuit:
     CR: list[list[int]]
     CO: list[list[int]]
 
+    # sparse BTreeMap views, derived exactly like the reference's
+    # matrix_to_map (arithmetic_circuit.rs:128-151) — wire-format only
+    @staticmethod
+    def _to_map(m):
+        return {
+            (i, j): v
+            for i, row in enumerate(m)
+            for j, v in enumerate(row)
+            if v
+        }
+
+    @property
+    def CL_T(self):
+        return self._to_map(self.CL)
+
+    @property
+    def CR_T(self):
+        return self._to_map(self.CR)
+
+    @property
+    def CO_T(self):
+        return self._to_map(self.CO)
+
 
 @dataclass
 class Proof:

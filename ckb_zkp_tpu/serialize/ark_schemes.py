@@ -34,8 +34,14 @@ PT = "pt"  # the scheme's group: pairing G1 or ristretto, by curve
 G1 = "g1"
 G2 = "g2"
 U64 = "u64"
+U32 = "u32"
 BOOL = "bool"
 POLY = ("vec", FR)  # DensePolynomial<F> == coeffs: Vec<F> (ascending)
+# zkp_r1cs::Index: u8 tag (0 = Input, 1 = Aux) + usize (r1cs/src/lib.rs:76-84);
+# framework entries are (coeff, kind 'I'|'A', index) tuples
+ENTRY = ("entry",)
+# BTreeMap<(u32, u32), Fr>: u64 len + sorted ((u32, u32), Fr) pairs
+U32MAP_FR = ("u32map", FR)
 
 
 def Vec(spec):
@@ -124,10 +130,24 @@ class ArkSchemeCodec:
         elif spec[0] == "struct":
             fields, _ = _schema_for(spec[1])
             for name, s in fields:
-                self._write(buf, s, getattr(v, name))
+                self._write(buf, s, getattr(v, name.lstrip("~")))
         elif spec[0] == "tdict":
             for k in spec[1]:
                 buf.write(self._pt_bytes(v[k]))
+        elif spec == U32:
+            buf.write(int(v).to_bytes(4, "little"))
+        elif spec[0] == "entry":
+            coeff, kind, idx = v
+            buf.write(self.fr.to_bytes(coeff))
+            buf.write(b"\x00" if kind == "I" else b"\x01")
+            write_u64(buf, idx)
+        elif spec[0] == "u32map":
+            items = sorted(v.items())
+            write_u64(buf, len(items))
+            for (i, j), val in items:
+                buf.write(int(i).to_bytes(4, "little"))
+                buf.write(int(j).to_bytes(4, "little"))
+                self._write(buf, spec[1], val)
         else:
             raise ValueError(f"unknown spec {spec!r}")
 
@@ -157,12 +177,35 @@ class ArkSchemeCodec:
         if spec[0] == "struct":
             cls = spec[1]
             fields, extras = _schema_for(cls)
-            kwargs = {name: self._read(buf, s) for name, s in fields}
+            kwargs = {}
+            for name, s in fields:
+                val = self._read(buf, s)
+                if not name.startswith("~"):  # "~x": wire-only, not a ctor arg
+                    kwargs[name] = val
             if extras is not None:
                 kwargs.update(extras(self))
             return cls(**kwargs)
         if spec[0] == "tdict":
             return {k: self._pt_read(buf) for k in spec[1]}
+        if spec == U32:
+            raw = buf.read(4)
+            if len(raw) != 4:
+                raise ValueError("truncated u32")
+            return int.from_bytes(raw, "little")
+        if spec[0] == "entry":
+            coeff = self.fr.read(buf)
+            tag = buf.read(1)
+            if tag not in (b"\x00", b"\x01"):
+                raise ValueError("invalid Index tag")
+            return (coeff, "I" if tag == b"\x00" else "A", read_u64(buf))
+        if spec[0] == "u32map":
+            n = read_u64(buf)
+            out = {}
+            for _ in range(n):
+                i = int.from_bytes(buf.read(4), "little")
+                j = int.from_bytes(buf.read(4), "little")
+                out[(i, j)] = self._read(buf, spec[1])
+            return out
         raise ValueError(f"unknown spec {spec!r}")
 
     # ------------- public API -------------
@@ -202,6 +245,67 @@ def _schemas():
 
     def add(cls, fields, extras=None):
         schemas[cls] = (tuple(fields), extras)
+
+    # ---- spartan setup/verify keys (spartan/src/data_structure.rs:11-166,
+    # lib.rs:43-166, r1cs.rs:15-22, spark.rs EncodeCommit) ----
+    MC = S(sp_common.MultiCommitmentParameters)
+    PC = S(sp_common.PolyCommitmentParameters)
+    add(
+        sp_common.MultiCommitmentParameters,
+        [("n", U64), ("generators", Vec(PT)), ("h", PT)],
+    )
+    add(
+        sp_common.PolyCommitmentParameters,
+        [("n", U64), ("gen_n", MC), ("gen_1", MC)],
+    )
+    add(
+        sp_common.SumCheckCommitmentParameters,
+        [("gen_1", MC), ("gen_3", MC), ("gen_4", MC)],
+    )
+    add(
+        sp_common.R1CSSatisfiedParameters,
+        [
+            ("pc_params", PC),
+            ("sc_params", S(sp_common.SumCheckCommitmentParameters)),
+            ("n", U64),
+        ],
+    )
+    add(
+        sp_common.NizkParameters,
+        [("r1cs_satisfied_params", S(sp_common.R1CSSatisfiedParameters))],
+    )
+    add(
+        sp_sn.R1CSEvalsParameters,
+        [("ops_params", PC), ("mem_params", PC), ("derefs_params", PC)],
+    )
+    add(  # reference field order: eval params FIRST (data_structure.rs:81-84)
+        sp_sn.SnarkParameters,
+        [
+            ("r1cs_eval_params", S(sp_sn.R1CSEvalsParameters)),
+            ("r1cs_satisfied_params", S(sp_common.R1CSSatisfiedParameters)),
+        ],
+    )
+    add(
+        sp.R1CSInstance,
+        [
+            ("num_inputs", U64),
+            ("num_aux", U64),
+            ("num_constraints", U64),
+            ("a_matrix", Vec(Vec(ENTRY))),
+            ("b_matrix", Vec(Vec(ENTRY))),
+            ("c_matrix", Vec(Vec(ENTRY))),
+        ],
+        extras=curve_extra,
+    )
+    add(
+        sp_sn.EncodeCommit,
+        [
+            ("n", U64),
+            ("m", U64),
+            ("ops_commit", Vec(PT)),
+            ("mem_commit", Vec(PT)),
+        ],
+    )
 
     # ---- spartan (spartan/src/data_structure.rs:168-339) ----
     add(sp_common.InnerProductProof, [("l_vec", Vec(PT)), ("r_vec", Vec(PT))])
@@ -336,7 +440,32 @@ def _schemas():
         ],
     )
 
-    # ---- bulletproofs (arithmetic_circuit.rs:163-183, inner_product_proof.rs:14-20) ----
+    # ---- bulletproofs (arithmetic_circuit.rs:104-183, inner_product_proof.rs:14-20) ----
+    add(
+        bp_ac.Generators,
+        [
+            ("g_vec_N", Vec(PT)),
+            ("h_vec_N", Vec(PT)),
+            ("g", PT),
+            ("h", PT),
+            ("u", PT),
+            ("n", U64),
+            ("N", U64),
+            ("k", U64),
+            ("n_w", U64),
+        ],
+    )
+    add(  # the _T maps are derived from the dense rows (matrix_to_map)
+        bp_ac.R1csCircuit,
+        [
+            ("CL", Vec(Vec(FR))),
+            ("CR", Vec(Vec(FR))),
+            ("CO", Vec(Vec(FR))),
+            ("~CL_T", U32MAP_FR),
+            ("~CR_T", U32MAP_FR),
+            ("~CO_T", U32MAP_FR),
+        ],
+    )
     add(
         bp_ipp.Proof,
         [("L_vec", Vec(PT)), ("R_vec", Vec(PT)), ("a", FR), ("b", FR)],
@@ -358,6 +487,22 @@ def _schemas():
             ("IPP_P", PT),
         ],
     )
+
+    # ---- libra + hyrax setup params (libra/src/params.rs:11-14,
+    # hyrax/src/params.rs:11-14: sc_params then pc_params) ----
+    add(
+        sigma.SumCheckCommitmentSetupParameters,
+        [("gen_1", MC), ("gen_3", MC), ("gen_4", MC)],
+    )
+    for _params_cls in (sigma.Parameters, li.Parameters):
+        add(
+            _params_cls,
+            [
+                ("sc_params", S(sigma.SumCheckCommitmentSetupParameters)),
+                ("pc_params", PC),
+            ],
+            extras=curve_extra,
+        )
 
     # ---- libra + hyrax shared sigma protocols (libra/src/commitment.rs:12-486,
     # hyrax/src/commitment.rs — identical layouts) ----

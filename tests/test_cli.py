@@ -12,9 +12,17 @@ import pytest
 from ckb_zkp_tpu.cli import prove_cmd, setup_cmd, verify_cmd
 
 
-def _roundtrip(scheme: str, curve: str = "bn254"):
-    setup_cmd(scheme, curve, "mini", seed=5)
-    proof_file = prove_cmd(scheme, curve, "mini", ["2", "3", "10"], seed=6)
+def _roundtrip(
+    scheme: str,
+    curve: str = "bn254",
+    circuit: str = "mini",
+    args: list[str] | None = None,
+):
+    if scheme != "bulletproofs":  # bulletproofs has no trusted setup
+        setup_cmd(scheme, curve, circuit, seed=5)
+    proof_file = prove_cmd(
+        scheme, curve, circuit, args or ["2", "3", "10"], seed=6
+    )
     assert verify_cmd(str(proof_file))
     # tampering with the public input must fail
     payload = json.loads(proof_file.read_text())
@@ -30,6 +38,11 @@ def test_cli_groth16_mini_roundtrip(tmp_path, monkeypatch):
     _roundtrip("groth16")
 
 
+def test_cli_groth16_hash_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("groth16", circuit="hash", args=["iamsecret"])
+
+
 def test_cli_marlin_mini_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     _roundtrip("marlin")
@@ -38,3 +51,29 @@ def test_cli_marlin_mini_roundtrip(tmp_path, monkeypatch):
 def test_cli_plonk_mini_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     _roundtrip("plonk")
+
+
+def test_cli_bulletproofs_mini_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("bulletproofs")
+
+
+def test_cli_spartan_snark_mini_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("spartan_snark")
+
+
+def test_cli_spartan_nizk_mini_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("spartan_nizk")
+
+
+def test_cli_spartan_nizk_curve25519_roundtrip(tmp_path, monkeypatch):
+    """The zkp-curve25519 configuration through the file-artifact surface."""
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("spartan_nizk", curve="curve25519")
+
+
+def test_cli_bulletproofs_curve25519_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("bulletproofs", curve="curve25519")

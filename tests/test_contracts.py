@@ -38,13 +38,13 @@ def test_universal_groth16_verifier_cells():
     ) == contracts.ERR_ENCODING
 
 
-# ---- the remaining contract verifiers (struct-codec cells) ----
+# ---- the remaining contract verifiers (ark-0.2 cells) ----
 
-from ckb_zkp_tpu.serialize import struct_codec
+from ckb_zkp_tpu.serialize.ark_schemes import FR, S, Tup, Vec, ark_encode
 
 
-def _enc(curve, v):
-    return struct_codec.encode(curve, v)
+def _frs(curve, xs):
+    return b"".join(fr_bytes(curve, x) for x in xs)
 
 
 def test_universal_marlin_verifier_cells():
@@ -55,20 +55,21 @@ def test_universal_marlin_verifier_cells():
     srs = marlin.universal_setup(curve, 128, rng)
     ipk, ivk = marlin.index(srs, Mini.power_off())
     proof = marlin.create_random_proof(ipk, Mini.power_on(2, 3, 10), rng)
-    vk_cell = _enc(curve, ivk)
-    proof_cell = _enc(curve, proof)
+    vk_cell = ark_encode(curve, ivk)
+    proof_cell = ark_encode(curve, proof)
     assert contracts.universal_marlin_verifier(
-        "bn254", vk_cell, proof_cell, _enc(curve, [10])
+        "bn254", vk_cell, proof_cell, _frs(curve, [10])
     ) == contracts.OK
     assert contracts.universal_marlin_verifier(
-        "bn254", vk_cell, proof_cell, _enc(curve, [11])
+        "bn254", vk_cell, proof_cell, _frs(curve, [11])
     ) == contracts.ERR_VERIFY
     assert contracts.universal_marlin_verifier(
-        "bn254", vk_cell, proof_cell[:-3], _enc(curve, [10])
+        "bn254", vk_cell, proof_cell[:-3], _frs(curve, [10])
     ) == contracts.ERR_ENCODING
 
 
 def test_universal_plonk_verifier_cells():
+    from ckb_zkp_tpu.schemes.plonk import serialize as pser
     from ckb_zkp_tpu.schemes.plonk.plonk import Plonk
     from tests.test_plonk import default_ks, reference_circuit
 
@@ -79,20 +80,21 @@ def test_universal_plonk_verifier_cells():
     srs = Plonk.setup(curve, 64, rng)
     pk, vk = Plonk.keygen(curve, srs, cs, default_ks(p))
     proof = Plonk.prove(curve, pk, cs, rng)
-    vk_cell = _enc(curve, vk)
-    proof_cell = _enc(curve, proof)
+    vk_cell = pser.vk_to_bytes(curve, vk)
+    proof_cell = pser.proof_to_bytes(curve, proof)
     publics = cs.public_inputs()
     assert contracts.universal_plonk_verifier(
-        "bn254", vk_cell, proof_cell, _enc(curve, publics)
+        "bn254", vk_cell, proof_cell, ark_encode(curve, publics, Vec(FR))
     ) == contracts.OK
     bad = [1] + publics[1:]
     assert contracts.universal_plonk_verifier(
-        "bn254", vk_cell, proof_cell, _enc(curve, bad)
+        "bn254", vk_cell, proof_cell, ark_encode(curve, bad, Vec(FR))
     ) == contracts.ERR_VERIFY
 
 
 def test_universal_spartan_verifier_cells():
     from ckb_zkp_tpu.schemes.spartan import nizk, snark
+    from ckb_zkp_tpu.schemes.spartan.common import NizkParameters
 
     curve = get_curve("bn254")
     rng = random.Random(55)
@@ -103,12 +105,14 @@ def test_universal_spartan_verifier_cells():
         curve, params, r1cs, Mini.power_on(2, 3, 10),
         r1cs.r1cs_to_hash(), nizk.params_to_hash(curve, params), rng,
     )
-    vk_cell = _enc(curve, (params, r1cs))
+    vk_cell = ark_encode(
+        curve, (params, r1cs), Tup(S(NizkParameters), S(nizk.R1CSInstance))
+    )
     assert contracts.universal_spartan_nizk_verifier(
-        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [10])
+        "bn254", vk_cell, ark_encode(curve, proof), _frs(curve, [10])
     ) == contracts.OK
     assert contracts.universal_spartan_nizk_verifier(
-        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [11])
+        "bn254", vk_cell, ark_encode(curve, proof), _frs(curve, [11])
     ) == contracts.ERR_VERIFY
     # snark
     setup = snark.generate_random_parameters(curve, Mini.power_off(), rng)
@@ -119,12 +123,20 @@ def test_universal_spartan_verifier_cells():
         snark.snark_params_to_hash(curve, setup.params),
         snark.encode_to_hash(curve, setup.encode_commit), rng,
     )
-    svk_cell = _enc(curve, (setup.params, setup.r1cs, setup.encode_commit))
+    svk_cell = ark_encode(
+        curve,
+        (setup.params, setup.r1cs, setup.encode_commit),
+        Tup(
+            S(snark.SnarkParameters),
+            S(nizk.R1CSInstance),
+            S(snark.EncodeCommit),
+        ),
+    )
     assert contracts.universal_spartan_snark_verifier(
-        "bn254", svk_cell, _enc(curve, sproof), _enc(curve, [10])
+        "bn254", svk_cell, ark_encode(curve, sproof), _frs(curve, [10])
     ) == contracts.OK
     assert contracts.universal_spartan_snark_verifier(
-        "bn254", svk_cell, _enc(curve, sproof), _enc(curve, [11])
+        "bn254", svk_cell, ark_encode(curve, sproof), _frs(curve, [11])
     ) == contracts.ERR_VERIFY
 
 
@@ -134,13 +146,19 @@ def test_mini_bulletproofs_verifier_cells():
     curve = get_curve("bn254")
     rng = random.Random(7)
     gens, r1cs, proof = bp.create_random_proof(curve, Mini.power_on(2, 3, 10), rng)
-    vk_cell = _enc(curve, (gens, r1cs))
+    proof_cell = ark_encode(
+        curve, (gens, r1cs, proof),
+        Tup(S(bp.Generators), S(bp.R1csCircuit), S(bp.Proof)),
+    )
     assert contracts.mini_bulletproofs_verifier(
-        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [10])
+        "bn254", b"", proof_cell, _frs(curve, [10])
     ) == contracts.OK
     assert contracts.mini_bulletproofs_verifier(
-        "bn254", vk_cell, _enc(curve, proof), _enc(curve, [11])
+        "bn254", b"", proof_cell, _frs(curve, [11])
     ) == contracts.ERR_VERIFY
+    assert contracts.mini_bulletproofs_verifier(
+        "bn254", b"", proof_cell[:-4], _frs(curve, [10])
+    ) == contracts.ERR_ENCODING
 
 
 def test_mini_gkr_verifier_cells():
@@ -157,23 +175,24 @@ def test_mini_gkr_verifier_cells():
     curve = get_curve("bn254")
     p = curve.fr.modulus
     rng = random.Random(88)
-    # libra
+    # libra (non-mini circuit: passed explicitly, cells stay pure ark bytes)
     inputs, witnesses, layers = reference_circuit()
-    spec = (len(inputs), len(witnesses), layers)
-    circuit = LiCircuit(*spec)
+    circuit = LiCircuit(len(inputs), len(witnesses), layers)
     params = LiParams.new(curve, rng, 8)
     chash = circuit.circuit_to_hash(curve)
     phash = params.param_to_hash()
     proof, output = ZKLinearGKRProof.prover(
         params, circuit, inputs, witnesses, chash, phash, rng
     )
-    vk_cell = _enc(curve, (params, spec))
+    vk_cell = ark_encode(curve, params)
+    pub_cell = ark_encode(curve, (inputs, output), Tup(Vec(FR), Vec(FR)))
     assert contracts.mini_libra_zk_linear_gkr_verifier(
-        "bn254", vk_cell, _enc(curve, proof), _enc(curve, (output, inputs))
+        "bn254", vk_cell, ark_encode(curve, proof), pub_cell, circuit=circuit
     ) == contracts.OK
     bad = [(output[0] + 1) % p] + list(output[1:])
+    bad_cell = ark_encode(curve, (inputs, bad), Tup(Vec(FR), Vec(FR)))
     assert contracts.mini_libra_zk_linear_gkr_verifier(
-        "bn254", vk_cell, _enc(curve, proof), _enc(curve, (bad, inputs))
+        "bn254", vk_cell, ark_encode(curve, proof), bad_cell, circuit=circuit
     ) == contracts.ERR_VERIFY
     # hyrax
     rng = random.Random(42)
@@ -186,23 +205,59 @@ def test_mini_gkr_verifier_cells():
         [(1, 0, 1), (0, 2, 3), (0, 4, 5), (1, 6, 7)],
         [(0, 0, 1), (0, 1, 2), (1, 2, 3), (1, 1, 3)],
     ]
-    hspec = (8, 8, hlayers)
-    hcircuit = HyCircuit(*hspec)
+    hcircuit = HyCircuit(8, 8, hlayers)
     hparams = HyParams.new(curve, rng, 8)
     hproof, houtputs = HyraxProof.prover(
         hparams, hw, hi, hcircuit,
         hcircuit.circuit_to_hash(curve), hparams.param_to_hash(), n, rng,
     )
-    hvk_cell = _enc(curve, (hparams, hspec))
+    hvk_cell = ark_encode(curve, hparams)
+    hpub = ark_encode(
+        curve, (hi, houtputs), Tup(Vec(Vec(FR)), Vec(Vec(FR)))
+    )
     assert contracts.mini_hyrax_zk_linear_gkr_verifier(
-        "bn254", hvk_cell, _enc(curve, hproof), _enc(curve, (houtputs, hi))
+        "bn254", hvk_cell, ark_encode(curve, hproof), hpub, circuit=hcircuit
     ) == contracts.OK
     hbad = [[(houtputs[0][0] + 1) % p] + list(houtputs[0][1:])] + [
         list(o) for o in houtputs[1:]
     ]
+    hbad_cell = ark_encode(
+        curve, (hi, hbad), Tup(Vec(Vec(FR)), Vec(Vec(FR)))
+    )
     assert contracts.mini_hyrax_zk_linear_gkr_verifier(
-        "bn254", hvk_cell, _enc(curve, hproof), _enc(curve, (hbad, hi))
+        "bn254", hvk_cell, ark_encode(curve, hproof), hbad_cell, circuit=hcircuit
     ) == contracts.ERR_VERIFY
+
+
+def test_mini_gkr_verifier_builtin_circuit():
+    """Default (no circuit=) path uses the reference's hardcoded mini layers
+    (mini_libra_zk_linear_gkr_verifier/src/entry.rs:13-34)."""
+    from ckb_zkp_tpu.schemes.libra.circuit import Circuit as LiCircuit
+    from ckb_zkp_tpu.schemes.libra.zk_linear_gkr import (
+        Parameters as LiParams,
+        ZKLinearGKRProof,
+    )
+
+    curve = get_curve("bn254")
+    rng = random.Random(5)
+    circuit = LiCircuit(
+        *contracts.MINI_GKR_SIZE, list(contracts.MINI_GKR_LAYERS)
+    )
+    params = LiParams.new(curve, rng, 8)
+    # the reference bench-test's witness for 2 * (3 + 2) = 10
+    # (bench-tests/src/tests.rs:509-510)
+    p = curve.fr.modulus
+    inputs = [2, p - 10, 1, 0]
+    witnesses = [2, 3, 0, 0]
+    proof, output = ZKLinearGKRProof.prover(
+        params, circuit, inputs, witnesses,
+        circuit.circuit_to_hash(curve), params.param_to_hash(), rng,
+    )
+    vk_cell = ark_encode(curve, params)
+    pub_cell = ark_encode(curve, (inputs, output), Tup(Vec(FR), Vec(FR)))
+    assert contracts.mini_libra_zk_linear_gkr_verifier(
+        "bn254", vk_cell, ark_encode(curve, proof), pub_cell
+    ) == contracts.OK
 
 
 # ---- native C++ verifier (parity with the no_std RISC-V contract) ----

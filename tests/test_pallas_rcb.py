@@ -107,6 +107,16 @@ print("ALL OK", GROUP)
 """
 
 
+import pytest
+
+_INTERPRET_GATE = pytest.mark.skipif(
+    os.environ.get("CKB_ZKP_TPU_RUN_INTERPRET_TESTS", "") in ("", "0"),
+    reason="interpret-mode Pallas on CPU takes 30+ min to compile; the "
+    "TPU-gated oracle test (test_msm_scan_kernels.py) and the CPU "
+    "fallback-path equality tests are the primary checks",
+)
+
+
 def _run(group):
     env = dict(os.environ)
     env["RCB_TEST_GROUP"] = group
@@ -127,9 +137,11 @@ def _run(group):
     assert f"ALL OK {group}" in res.stdout
 
 
+@_INTERPRET_GATE
 def test_rcb_kernels_g1():
     _run("g1")
 
 
+@_INTERPRET_GATE
 def test_rcb_kernels_g2():
     _run("g2")
