@@ -225,13 +225,20 @@ class DeviceField:
         single element — the device-friendly replacement for arkworks'
         sequential `batch_inversion`.
         """
-        from .scan_utils import blocked_scan
+        from .scan_utils import blocked_scan, hs_scan
 
         z = self.is_zero(a)
         x = jnp.where(z[..., None], self.ones(a.shape[:-1]), a)
         one = self.ones(a.shape[1:-1])
-        prefix = blocked_scan(self.mul, x, one)
-        suffix = blocked_scan(self.mul, x, one, reverse=True)
+        if self.use_pallas and a.shape[0] > 64:
+            # log2(N) full-width fused-kernel launches beat block*levels
+            # narrow sequential steps on the TPU (per-launch overhead
+            # dominates narrow widths — probe_micro)
+            prefix = hs_scan(self.mul, x)
+            suffix = hs_scan(self.mul, x, reverse=True)
+        else:
+            prefix = blocked_scan(self.mul, x, one)
+            suffix = blocked_scan(self.mul, x, one, reverse=True)
         total_inv = self.inv(prefix[-1])
         n = a.shape[0]
         left = jnp.concatenate([self.ones((1, *a.shape[1:-1])), prefix[: n - 1]], 0)

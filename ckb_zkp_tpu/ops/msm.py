@@ -142,16 +142,26 @@ def _kernel_capable(rg) -> bool:
     return df.use_pallas
 
 
+_SMALL_SCAN_MAX = 32  # bottom handled by ONE kernel launch (B = n steps);
+# kept at the production block size so VMEM stays within the scan cap
+
+
 def _full_prefix(rg, pts, B: int):
     """Inclusive prefix over (n,) projective points.
 
     Kernel path: pad to the scan-tile alignment (identity padding), ONE scan
-    launch for every level, and recurse on the REAL block totals only (the
-    padded lanes produce identity totals) — no narrow sequential scans
-    anywhere above the tiny (<= 2B) bottom."""
+    launch for every level, recurse on the REAL block totals only (padded
+    lanes produce identity totals), and finish small tails with a single
+    B = n kernel launch — a sequential per-element XLA scan at the bottom
+    costs tens of ms in tiny-op overhead (measured, probe_window)."""
     from .pallas_rcb import rcb_scan_prefix_add
 
     n = jax.tree.leaves(pts)[0].shape[0]
+    if _kernel_capable(rg) and 1 < n <= _SMALL_SCAN_MAX:
+        align = _rcb_align(rg) // _RCB_B  # lane tile (1024)
+        padded = _pad_leading(pts, n * align, rg.identity(()))
+        W, _T = rcb_scan_prefix_add(rg, padded, n)
+        return jax.tree.map(lambda c: c[:n], W)
     if n <= 2 * B or not _kernel_capable(rg):
         if n <= 2 * B:
             def step(acc, x):
@@ -199,12 +209,13 @@ def _full_prefix(rg, pts, B: int):
 
 def _reduce_pts(rg, pts, B: int):
     """Sum of (n,) projective points -> single point (same pad+slice
-    structure as _full_prefix: one totals launch per level)."""
+    structure as _full_prefix: one totals launch per level, single-launch
+    small tail)."""
     from .pallas_rcb import rcb_scan_total_add
 
     n = jax.tree.leaves(pts)[0].shape[0]
     align = _rcb_align(rg)
-    while n > 2 * B and _kernel_capable(rg):
+    while n > _SMALL_SCAN_MAX and _kernel_capable(rg):
         npad = -(-n // align) * align
         pts = _pad_leading(pts, npad, rg.identity(()))
         pts = rcb_scan_total_add(rg, pts, B)
@@ -212,8 +223,12 @@ def _reduce_pts(rg, pts, B: int):
         pts = jax.tree.map(lambda c: c[:n], pts)
     if n == 1:
         return jax.tree.map(lambda c: c[0], pts)
-    # CPU fallback / tiny tail: widths stay under the pallas threshold, so
-    # the whole reduction is XLA-fused
+    if _kernel_capable(rg):
+        lanes = align // _RCB_B
+        pts = _pad_leading(pts, n * lanes, rg.identity(()))
+        T = rcb_scan_total_add(rg, pts, n)  # lane 0 carries all real data
+        return jax.tree.map(lambda c: c[0], T)
+    # CPU fallback: widths stay under the pallas threshold, XLA-fused
     return blocked_reduce(rg.add, tuple(pts), rg.identity(()), block=64)
 
 
@@ -233,6 +248,32 @@ def _wide_madd(rg, p, leaves):
     return rg.madd(p, leaves)
 
 
+def _bucket_counts(digits, nb: int):
+    """cnt[b] = #{i : digits[i] <= b} via a histogram + cumsum.
+
+    For 16-bit digits the histogram is an int8 one-hot matmul over the
+    (hi-byte, lo-byte) split — N x 256 x 256 MACs ride the MXU at ~0.3 ms
+    versus ~44 ms for jnp.searchsorted's 21-step gather loop (measured,
+    probe_window)."""
+    if nb > 256:
+        assert nb == 1 << 16
+        hi = (digits >> 8).astype(jnp.int32)
+        lo = (digits & jnp.uint32(0xFF)).astype(jnp.int32)
+        ar = jnp.arange(256, dtype=jnp.int32)
+        A = (hi[:, None] == ar[None]).astype(jnp.int8)
+        Bm = (lo[:, None] == ar[None]).astype(jnp.int8)
+        hist2 = jax.lax.dot_general(
+            A, Bm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (hi, lo)
+        hist = hist2.reshape(nb)
+    else:
+        ar = jnp.arange(nb, dtype=jnp.int32)
+        oh = (digits.astype(jnp.int32)[:, None] == ar[None]).astype(jnp.int32)
+        hist = jnp.sum(oh, axis=0)
+    return jnp.cumsum(hist)
+
+
 
 class DeviceCurveGroup:
     """Device-side view of one curve group (G1 over Fq, or G2 over Fq2)."""
@@ -241,6 +282,9 @@ class DeviceCurveGroup:
     # G1/G2 over Fq/Fq2 on TPU); subclasses with other point representations
     # (extended Edwards) inherit False.
     _affine_leaves = False
+    # RCB projective engine: a = 0 short-Weierstrass only; Edwards subclasses
+    # (which do not run DeviceCurveGroup.__init__) inherit False.
+    _use_rcb = False
 
     def __init__(self, curve: PairingCurve, group: str, window_bits: int = 16):
         assert window_bits in (1, 2, 4, 8, 16), "windows must not straddle limbs"
@@ -286,6 +330,7 @@ class DeviceCurveGroup:
         self._fixed_base_chunked_jit = jax.jit(self._fixed_base_chunked)
         self._table = jax.jit(self._table_impl)
         self._normalize_jit = jax.jit(self._normalize)
+        self._normalize_proj_jit = jax.jit(self._normalize_proj)
 
     def _normalize(self, P):
         """Jacobian -> affine-encoded Jacobian (Z in {0, 1}).
@@ -629,13 +674,10 @@ class DeviceCurveGroup:
             limb = jnp.take(scalars, bitpos // BASE_BITS, axis=1)
             digits = (limb >> (bitpos % BASE_BITS)) & jnp.uint32(nb - 1)
             order = jnp.argsort(digits)
-            d = digits[order]
             leaves = (X[order], Y[order], inf[order])
             w_get, T = _scan_prefix_madd(rg, leaves, _RCB_B)
             pfull = _full_prefix(rg, T, _RCB_B)
-            cnt = jnp.searchsorted(
-                d, jnp.arange(nb, dtype=d.dtype), side="right"
-            )
+            cnt = _bucket_counts(digits, nb)
             q = cnt.astype(jnp.int32) - 1
             qc = jnp.maximum(q, 0)
             e_wb = w_get(qc)
@@ -750,23 +792,60 @@ class DeviceCurveGroup:
         return self._normalize(out)
 
     def _fixed_base_rcb(self, table, scalars):
-        """Fixed-base accumulation over RCB projective adds: per window one
-        table-row gather plus ONE fused mixed-add launch (the d = 0 row
-        entry is infinity, masked by digit == 0). Output is normalized to
-        the affine-encoded Jacobian form downstream MSMs expect."""
+        """Fixed-base accumulation over RCB projective adds.
+
+        Table-row selection is an EXACT int8 one-hot matmul over shifted
+        byte planes riding the MXU — an XLA row gather of (N, L) u32 from
+        the 2^c-row table costs ~9 ms per window-chunk at 2^18 (~70% of
+        setup wall-clock, probe_msm2) while the matmul is bandwidth-bound
+        at ~0.5 ms. Each output element is one product (one-hot), summed
+        byte planes reconstruct the u32 limbs exactly. The d = 0 row is
+        infinity, masked by digit == 0. Output stays PROJECTIVE;
+        fixed_base_msm normalizes once over the whole batch."""
         rg = rcb_group(self)
         n = scalars.shape[0]
+        X, Y, _Z = table
+        nwin, nb = X.shape[0], X.shape[1]
+        if nb != 256:
+            def body_gather(w, acc):
+                digits = self._digits(scalars, w).astype(jnp.int32)
+                return _wide_madd(
+                    rg, acc, (X[w][digits], Y[w][digits], digits == 0)
+                )
+
+            return jax.lax.fori_loop(
+                0, self.nwindows, body_gather, rg.identity((n,))
+            )
+        coord_shape = X.shape[2:]  # (L,) or (2, L)
+        R = int(np.prod(coord_shape))
+        pair = jnp.concatenate(
+            [X.reshape(nwin, nb, R), Y.reshape(nwin, nb, R)], axis=-1
+        )  # (W, 256, 2R) u32 of 16-bit limbs
+        lo = (pair & jnp.uint32(0xFF)).astype(jnp.int32)
+        hi = ((pair >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+        planes = (
+            jnp.concatenate([lo, hi], axis=-1) - 128
+        ).astype(jnp.int8)  # (W, 256, 4R), values in [-128, 127]
+        ar = jnp.arange(nb, dtype=jnp.int32)
 
         def body(w, acc):
             digits = self._digits(scalars, w).astype(jnp.int32)
-            X, Y, _Z = table
-            row_x, row_y = X[w], Y[w]
-            return _wide_madd(
-                rg, acc, (row_x[digits], row_y[digits], digits == 0)
+            oh = (digits[:, None] == ar[None]).astype(jnp.int8)
+            out = (
+                jax.lax.dot_general(
+                    oh, planes[w], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                + 128  # undo the shift: exactly one 1 per one-hot row
             )
+            vals = (
+                out[:, : 2 * R] + (out[:, 2 * R :] << 8)
+            ).astype(jnp.uint32)
+            Xg = vals[:, :R].reshape(n, *coord_shape)
+            Yg = vals[:, R:].reshape(n, *coord_shape)
+            return _wide_madd(rg, acc, (Xg, Yg, digits == 0))
 
-        out = jax.lax.fori_loop(0, self.nwindows, body, rg.identity((n,)))
-        return self._normalize_proj(out)
+        return jax.lax.fori_loop(0, self.nwindows, body, rg.identity((n,)))
 
     def _normalize_proj(self, p):
         """Projective -> affine-encoded Jacobian (Z in {0, one})."""
@@ -839,6 +918,10 @@ class DeviceCurveGroup:
                 out = self._fixed_base_chunked_jit(table, s3)
         else:
             out = self._fixed_base_jit(table, scalars)
+        if self._use_rcb:
+            # one whole-batch normalization (projective -> affine-encoded
+            # Jacobian) instead of per-chunk batch inversions
+            out = self._normalize_proj_jit(out)
         if pad_output:
             return out
         return jax.tree.map(lambda c: c[:n], out)

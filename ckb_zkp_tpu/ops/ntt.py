@@ -52,7 +52,14 @@ class Domain:
         self.coset_g = spec.generator
         self.coset_g_inv = pow(self.coset_g, -1, p)
         self._bitrev = jnp.asarray(_bitrev_indices(n))
-        self.fft = jax.jit(self._fft_impl, static_argnames=("inverse", "coset"))
+        # big tables (twiddles, bitrev, coset scales) enter as ARGUMENTS:
+        # closure-captured device arrays embed as dense literals in the
+        # lowered program, and at 2^21 the remote compile request exceeds
+        # the TPU tunnel's body limit (HTTP 413, BENCH r3 run 1)
+        self._fft_jit = jax.jit(
+            self._fft_core, static_argnames=("inverse", "coset")
+        )
+        self._lagrange_jit = jax.jit(self._lagrange_core)
         # one compiled builder serves every base of this domain size (the
         # base enters as data); building the table with eager doubling ops
         # instead costs ~log2(n) separate compiles on the TPU tunnel
@@ -80,11 +87,38 @@ class Domain:
         return self._table_builder(self.df.encode([base]))
 
     # ---- core transform ----
-    def _fft_impl(self, x: jnp.ndarray, *, inverse: bool = False, coset: bool = False):
-        """NTT over the domain; natural order in and out.
+    def fft(self, x: jnp.ndarray, *, inverse: bool = False, coset: bool = False):
+        """NTT over the domain; natural order in and out. Dispatches the
+        jitted core with the (device-cached) tables as runtime operands."""
+        table = self._pow_table(self.omega_inv if inverse else self.omega)
+        if coset:
+            scale = self._pow_table(
+                self.coset_g_inv if inverse else self.coset_g
+            )
+        else:
+            scale = self.df.zeros((1,))  # dead operand on non-coset paths
+        return self._fft_jit(
+            x, table, scale, self._bitrev, inverse=inverse, coset=coset
+        )
 
-        coset=True: forward evaluates on gH (coset_fft); inverse interpolates
-        from gH (coset_ifft).
+    def _fft_impl(self, x, *, inverse: bool = False, coset: bool = False):
+        """Closure-constant variant for SMALL domains composed inside larger
+        traces (the four-step sharded NTT's local transforms)."""
+        table = self._pow_table(self.omega_inv if inverse else self.omega)
+        scale = (
+            self._pow_table(self.coset_g_inv if inverse else self.coset_g)
+            if coset
+            else self.df.zeros((1,))
+        )
+        return self._fft_core(
+            x, table, scale, self._bitrev, inverse=inverse, coset=coset
+        )
+
+    def _fft_core(
+        self, x, table, coset_scale, bitrev, *, inverse: bool, coset: bool
+    ):
+        """coset=True: forward evaluates on gH (coset_fft); inverse
+        interpolates from gH (coset_ifft).
 
         DIF radix-2 with ONE traced stage instance under lax.fori_loop on a
         fixed (n, L) layout: stage s pairs i with i^half (half = n >> (s+1)),
@@ -96,9 +130,8 @@ class Domain:
         df, n = self.df, self.n
         assert x.shape[0] == n, (x.shape, n)
         if coset and not inverse:
-            x = df.mul(x, self._pow_table(self.coset_g))
+            x = df.mul(x, coset_scale)
         if n > 1:
-            table = self._pow_table(self.omega_inv if inverse else self.omega)
             logn = n.bit_length() - 1
             idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -113,11 +146,11 @@ class Domain:
                 return jnp.where(bottom[:, None], bot, top)
 
             x = jax.lax.fori_loop(0, logn, stage, x)
-            x = x[self._bitrev]
+            x = x[bitrev]
         if inverse:
             x = df.mul(x, df.const(self.n_inv, (1,)))
             if coset:
-                x = df.mul(x, self._pow_table(self.coset_g_inv))
+                x = df.mul(x, coset_scale)
         return x
 
     # ---- public API (mirrors GeneralEvaluationDomain) ----
@@ -163,8 +196,14 @@ class Domain:
             out = df.zeros((self.n,))
             return out.at[idx].set(df.ones(()))
         zt_over_n = (pow(t, self.n, p) - 1) * pow(self.n, -1, p) % p
-        num = df.mul(pow_w, df.const(zt_over_n, (1,)))
-        den = df.sub(df.const(t, (self.n,)), pow_w)
+        return self._lagrange_jit(
+            pow_w, df.encode([zt_over_n]), df.encode([t])
+        )
+
+    def _lagrange_core(self, pow_w, zt_enc, t_enc):
+        df = self.df
+        num = df.mul(pow_w, zt_enc)
+        den = df.sub(jnp.broadcast_to(t_enc, pow_w.shape), pow_w)
         return df.mul(num, df.batch_inv(den))
 
 

@@ -54,11 +54,29 @@ class DeviceCoo:
         self.c_rows = jnp.asarray(np.minimum(rows[order_c], num_rows - 1))
         self.c_cols = jnp.asarray(cols[order_c])
         self.c_coeffs = coeff_dev[jnp.asarray(order_c)]
-        self.matvec = jax.jit(self._matvec)
-        self.rmatvec = jax.jit(self._rmatvec)
-        self.rmatvec_padded = jax.jit(self._rmatvec_padded)
+        # index/coeff arrays enter the jitted cores as ARGUMENTS: captured
+        # device arrays embed as dense literals in the lowered program and
+        # blow the TPU tunnel's compile-request limit at 2^20+ nnz
+        self._core = jax.jit(self._gather_mul_reduce, static_argnames=("out_len",))
 
-    def _gather_mul_reduce(self, z, idx_gather, coeffs, seg_ids, out_len):
+    def matvec(self, z: jnp.ndarray) -> jnp.ndarray:
+        """z: (>=num_cols, L) mont -> (num_rows, L) mont."""
+        return self._core(
+            z, self.r_cols, self.r_coeffs, self.r_rows, out_len=self.num_rows
+        )
+
+    def rmatvec(self, z: jnp.ndarray) -> jnp.ndarray:
+        """z: (num_rows, L) mont -> (num_cols, L) mont (transpose product)."""
+        return self.rmatvec_padded(z)[: self.num_cols]
+
+    def rmatvec_padded(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Like rmatvec but keeps the pow2-padded (num_cols_pad, L) shape."""
+        return self._core(
+            z, self.c_rows, self.c_coeffs, self.c_cols,
+            out_len=self.num_cols_pad,
+        )
+
+    def _gather_mul_reduce(self, z, idx_gather, coeffs, seg_ids, *, out_len):
         df = self.df
         if self.nnz == 0:
             return df.zeros((out_len,))
@@ -67,20 +85,3 @@ class DeviceCoo:
             df.add, vals, seg_ids, out_len, df.zeros(())
         )
 
-    def _matvec(self, z: jnp.ndarray) -> jnp.ndarray:
-        """z: (>=num_cols, L) mont -> (num_rows, L) mont."""
-        return self._gather_mul_reduce(
-            z, self.r_cols, self.r_coeffs, self.r_rows, self.num_rows
-        )
-
-    def _rmatvec(self, z: jnp.ndarray) -> jnp.ndarray:
-        """z: (num_rows, L) mont -> (num_cols, L) mont (transpose product)."""
-        return self._rmatvec_padded(z)[: self.num_cols]
-
-    def _rmatvec_padded(self, z: jnp.ndarray) -> jnp.ndarray:
-        """Like rmatvec but keeps the pow2-padded (num_cols_pad, L) shape —
-        rows past num_cols are zero. Padded shapes keep downstream compiled
-        graphs shared across circuit sizes."""
-        return self._gather_mul_reduce(
-            z, self.c_rows, self.c_coeffs, self.c_cols, self.num_cols_pad
-        )

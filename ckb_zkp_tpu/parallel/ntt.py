@@ -49,8 +49,26 @@ class ShardedDomain:
         p = spec.modulus
         self.omega = spec.root_of_unity(n)
         self.omega_inv = pow(self.omega, -1, p)
+        self.coset_g = spec.generator
+        self.coset_g_inv = pow(self.coset_g, -1, p)
         self.fft_t = jax.jit(self._shardmapped(self._forward_local))
         self.ifft_from_t = jax.jit(self._shardmapped(self._inverse_local))
+        # natural-order coset transforms for the sharded QAP witness map
+        # (groth16/src/r1cs_to_qap.rs:144-169 parity, mesh-sharded)
+        self.coset_eval = jax.jit(
+            self._shardmapped(
+                lambda x: self._ntt_from_t_local(
+                    self._coset_scale_local(self._ifft_t_local(x), False)
+                )
+            )
+        )
+        self.coset_interp = jax.jit(
+            self._shardmapped(
+                lambda q: self._from_t_local(
+                    self._coset_scale_local(self._ifft_t_local(q), True)
+                )
+            )
+        )
 
     def _shardmapped(self, local):
         spec_in = P(self.axis, None)
@@ -76,6 +94,76 @@ class ShardedDomain:
             T = jnp.where(sel[:, None, None], df.mul(T, sq[None]), T)
             sq = df.sqr(sq)
         return T
+
+    def _pow_vec(self, base: int, count: int, off):
+        """[base^(off+i)]_{i<count} Montgomery, off may be traced."""
+        df = self.df
+        p = self.spec.modulus
+        v = jax.lax.broadcasted_iota(jnp.uint32, (count, 1), 0)[:, 0] + off
+        out = df.ones((count,))
+        b = base % p
+        for bit in range(max(1, (2 * self.n).bit_length())):
+            sel = ((v >> bit) & 1).astype(bool)
+            out = jnp.where(sel[:, None], df.mul(out, df.const(b, (1,))), out)
+            b = b * b % p
+        return out
+
+    def _coset_scale_local(self, B, inverse: bool):
+        """Multiply transposed-layout coeffs C[k1, k2] by g^(+-(k1 + n1*k2)).
+
+        Natural coeff index k = k1 + n1*k2, rows = local k1 shard."""
+        df, d, n1, n2 = self.df, self.d, self.n1, self.n2
+        me = jax.lax.axis_index(self.axis)
+        g = self.coset_g_inv if inverse else self.coset_g
+        p = self.spec.modulus
+        n1d = n1 // d
+        B = B.reshape(n1d, n2, df.L)
+        col = self._pow_vec(g, n1d, me * n1d)  # g^k1
+        row = self._pow_vec(pow(g, n1, p), n2, 0)  # (g^n1)^k2
+        B = df.mul(B, df.mul(col[:, None], row[None]))
+        return B.reshape(n1d * n2, df.L)
+
+    # ---- inverse transform, natural -> transposed coeffs (with 1/N):
+    # _forward_local with inverse butterflies and omega^-1 twiddles ----
+    def _ifft_t_local(self, x):
+        df, d, n1, n2 = self.df, self.d, self.n1, self.n2
+        me = jax.lax.axis_index(self.axis)
+        x = x.reshape(n1 // d, n2, df.L)
+        x = jax.lax.all_to_all(x, self.axis, split_axis=1, concat_axis=0, tiled=True)
+        ifft1 = partial(self.dom1._fft_impl, inverse=True, coset=False)
+        x = jax.vmap(ifft1, in_axes=1, out_axes=1)(x)  # includes 1/n1
+        x = df.mul(
+            x, self._twiddle_block(self.omega_inv, n1, 0, n2 // d, me * (n2 // d))
+        )
+        x = jax.lax.all_to_all(x, self.axis, split_axis=0, concat_axis=1, tiled=True)
+        ifft2 = partial(self.dom2._fft_impl, inverse=True, coset=False)
+        x = jax.vmap(ifft2, in_axes=0, out_axes=0)(x)  # includes 1/n2
+        return x.reshape(n1 // d * n2, df.L)
+
+    # ---- forward transform, transposed coeffs -> natural evals:
+    # _inverse_local with forward butterflies and omega twiddles ----
+    def _ntt_from_t_local(self, B):
+        df, d, n1, n2 = self.df, self.d, self.n1, self.n2
+        me = jax.lax.axis_index(self.axis)
+        B = B.reshape(n1 // d, n2, df.L)
+        fft2 = partial(self.dom2._fft_impl, inverse=False, coset=False)
+        B = jax.vmap(fft2, in_axes=0, out_axes=0)(B)
+        B = df.mul(
+            B, self._twiddle_block(self.omega, n1 // d, me * (n1 // d), n2, 0)
+        )
+        B = jax.lax.all_to_all(B, self.axis, split_axis=1, concat_axis=0, tiled=True)
+        fft1 = partial(self.dom1._fft_impl, inverse=False, coset=False)
+        B = jax.vmap(fft1, in_axes=1, out_axes=1)(B)
+        B = jax.lax.all_to_all(B, self.axis, split_axis=0, concat_axis=1, tiled=True)
+        return B.reshape(n1 // d * n2, df.L)
+
+    def _from_t_local(self, B):
+        """Pure mesh transpose: transposed layout -> natural order."""
+        df, d, n1, n2 = self.df, self.d, self.n1, self.n2
+        B = B.reshape(n1 // d, n2, df.L)
+        B = jax.lax.all_to_all(B, self.axis, split_axis=1, concat_axis=0, tiled=True)
+        B = jnp.swapaxes(B, 0, 1)  # (n2/d, n1, L): rows k2, cols k1
+        return B.reshape((n2 // d) * n1, df.L)
 
     # ---- forward: natural row-sharded -> transposed spectrum row-sharded ----
     def _forward_local(self, x):

@@ -89,18 +89,18 @@ def generate_parameters_from_shape(
         h_can = dg1.encode_scalars(h_can)
         padded = False
     else:
-        # ONE jitted graph for the whole instance map + query scalars:
-        # Lagrange kernel, three transpose matvecs, scalar algebra, t-powers
-        # and Montgomery conversions. Eager per-op dispatch here costs one
-        # remote compile per op/shape on the TPU tunnel. All outputs keep
-        # pow2-padded shapes (gamma_abc is sliced to a small pow2 in-trace).
+        # Lagrange kernel + transpose matvecs run through their own jits
+        # (big tables/index arrays as runtime operands — captured device
+        # arrays embed as literals and blow the tunnel's compile-request
+        # limit at 2^20, BENCH r3 run 1); the remaining scalar algebra is
+        # one jit over those results. Outputs keep pow2-padded shapes.
         ga_pad = max(8, 1 << max(0, ni - 1).bit_length())
+        lag = qap.domain.evaluate_all_lagrange_coefficients(t)
+        u = qap.a.rmatvec_padded(lag)
+        v = qap.b.rmatvec_padded(lag)
+        w = qap.c.rmatvec_padded(lag)
 
-        def _setup_scalars():
-            lag = qap.domain.evaluate_all_lagrange_coefficients(t)
-            u = qap.a.rmatvec_padded(lag)
-            v = qap.b.rmatvec_padded(lag)
-            w = qap.c.rmatvec_padded(lag)
+        def _setup_scalars(u, v, w):
             beta_c = fr.const(beta, (1,))
             alpha_c = fr.const(alpha, (1,))
             contrib = fr.add(fr.add(fr.mul(beta_c, u), fr.mul(alpha_c, v)), w)
@@ -131,7 +131,9 @@ def generate_parameters_from_shape(
                 fr.from_mont(h_s),
             )
 
-        u_can, v_can, gamma_abc_can, l_can, h_can = jax.jit(_setup_scalars)()
+        u_can, v_can, gamma_abc_can, l_can, h_can = jax.jit(_setup_scalars)(
+            u, v, w
+        )
         padded = True
 
     a_query = dg1.fixed_base_msm(t1, u_can, pad_output=padded)

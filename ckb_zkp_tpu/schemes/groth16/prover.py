@@ -50,7 +50,8 @@ def create_proof_from_shape(
 ) -> Proof:
     """With `mesh` set, the 4-5 Pippenger MSMs (the dominant prover cost)
     shard points per chip and fold partials across the mesh
-    (parallel/msm.py); the witness map stays single-device."""
+    (parallel/msm.py), and the QAP witness map's six NTTs run as four-step
+    transforms with all_to_all stage exchange (parallel/ntt.py)."""
     curve = params.curve
     p = curve.fr.modulus
     fr = device_field(curve.fr)
@@ -97,8 +98,16 @@ def create_proof_from_shape(
         with stage("groth16/encode_witness"):
             z_mont = fr.encode(z)
             stage_sync(z_mont)
+        sdom = None
+        if mesh is not None:
+            from ...parallel.mesh import SHARD_AXIS
+            from ...parallel.ntt import ShardedDomain
+
+            d = mesh.shape[SHARD_AXIS]
+            if qap.m >= d * d:  # four-step needs d | n1 and d | n2
+                sdom = ShardedDomain(curve.fr, qap.m, mesh)
         with stage("groth16/qap_witness_map"):
-            h = qap.witness_map(z_mont)  # (m, L) mont, top coeff zero
+            h = qap.witness_map(z_mont, sdom)  # (m, L) mont, top coeff zero
             stage_sync(h)
         z_can = fr.from_mont(z_mont)
         h_can = fr.from_mont(h)

@@ -159,7 +159,7 @@ class QapMatrices:
             out.append(acc)
         return tuple(out)
 
-    def witness_map(self, z_mont):
+    def witness_map(self, z_mont, sdom=None):
         """Full assignment (mont) -> h coefficients (mont, full length m).
 
         The reference's hot loop 1 (r1cs_to_qap.rs:113-172): sparse matvecs,
@@ -167,6 +167,11 @@ class QapMatrices:
         The logical h has m-1 coefficients; the top coefficient is zero in
         exact arithmetic and callers pair it with an infinity query point,
         so the pow2 shape is kept (shared compiled graphs, no device slice).
+
+        With `sdom` (a parallel.ShardedDomain over the prover mesh) the six
+        NTTs run as four-step transforms with all_to_all stage exchange —
+        the mesh-sharded replacement for the reference's rayon-parallel
+        arkworks FFTs (SURVEY §2.3); the sparse matvecs stay replicated.
         """
         df, dom = self.df, self.domain
         if z_mont.shape[0] < self.a.num_cols_pad:  # shape-stable compile cache
@@ -176,6 +181,13 @@ class QapMatrices:
         a = self.a.matvec(z_mont)
         b = self.b.matvec(z_mont)
         c = self.c.matvec(z_mont)
+        if sdom is not None:
+            assert sdom.n == self.m
+            ca = sdom.coset_eval(a)
+            cb = sdom.coset_eval(b)
+            cc = sdom.coset_eval(c)
+            q = df.sub(df.mul(ca, cb), cc)
+            return sdom.coset_interp(dom.divide_by_vanishing_poly_on_coset(q))
         ca = dom.coset_ntt(dom.intt(a))
         cb = dom.coset_ntt(dom.intt(b))
         cc = dom.coset_ntt(dom.intt(c))

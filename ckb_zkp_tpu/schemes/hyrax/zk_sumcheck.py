@@ -24,6 +24,14 @@ def _poly_eval(coeffs, x, p):
     return acc
 
 
+def _use_device_tables(n: int, ng: int) -> bool:
+    """Route the sumcheck tables to the device when the data-parallel work
+    (instances x gates) amortizes the dispatch round-trips."""
+    from ...ops.sumcheck import DEVICE_SUMCHECK_MIN
+
+    return n * ng >= DEVICE_SUMCHECK_MIN * 4
+
+
 def convert_to_bit(n: int, log_g: int) -> list[int]:
     out = []
     while n > 0:
@@ -139,43 +147,76 @@ class ZkSumcheckProof:
         r_alpha_eval_vec = [rng.randrange(p) for _ in range(log_n + 2 * log_ng)]
         polys, comm_polys, comm_evals = [], [], []
 
-        eq_vec = eval_eq(list(q_aside_vec), p)
+        use_dev0 = _use_device_tables(n, ng)
         eq_ql = eval_eq(list(ql_vec), p)
         eq_qr = eval_eq(list(qr_vec), p)
         xg_q = [(a * u0 + b * u1) % p for a, b in zip(eq_ql, eq_qr)]
-        temp_vec = [[e * x % p for e in eq_vec] for x in xg_q]
-        assert len(temp_vec) == len(gates)
+        if not use_dev0:
+            eq_vec = eval_eq(list(q_aside_vec), p)
+            temp_vec = [[e * x % p for e in eq_vec] for x in xg_q]
+            assert len(temp_vec) == len(gates)
 
         def gate_term(pv, lv, rv, op):
             return pv * ((lv + rv) % p if op == 0 else lv * rv % p) % p
+
+        # device-resident tables (VERDICT r2 item 4): the per-instance /
+        # per-node eval tables live on device, halving each round; only
+        # (eval_0, eval_2[, eval_3]) cross to the host where the
+        # commitments, transcript and sigma proofs run. Proofs are
+        # byte-identical to the host path (tests/test_hyrax.py equality).
+        use_dev = use_dev0
+        if use_dev:
+            import numpy as np
+            import jax.numpy as jnp
+
+            from ...ops.sumcheck import DeviceSumcheck
+
+            ds = DeviceSumcheck(curve.fr)
+            frd = ds.fr
+            li = [g.left_node for g in gates]
+            ri = [g.right_node for g in gates]
+            mulmask = jnp.asarray(np.asarray([g.op == 1 for g in gates]))
+            li_d = jnp.asarray(np.asarray(li, np.int32))
+            ri_d = jnp.asarray(np.asarray(ri, np.int32))
+            eq_dev = ds.eval_eq(list(q_aside_vec))  # (n, L)
+            xg_dev = ds.encode_table(xg_q)  # (ng, L)
+            TP = frd.mul(xg_dev[:, None], eq_dev[None])
+            CE = ds.encode_table(
+                [v for row in circuit_evals for v in row]
+            ).reshape(len(circuit_evals), n, frd.L)
 
         # ---- sumcheck #1 (instance bits) ----
         rs = []
         size = n
         for j in range(log_n):
             size //= 2
-            eval_0 = eval_2 = eval_3 = 0
-            for gate, tp in zip(gates, temp_vec):
-                lvv = circuit_evals[gate.left_node]
-                rvv = circuit_evals[gate.right_node]
-                eval_0 = (
-                    eval_0
-                    + sum(gate_term(tp[t], lvv[t], rvv[t], gate.op) for t in range(size))
-                ) % p
-                tp2 = combine_with_n(tp, 2, p)
-                lv2 = combine_with_n(lvv, 2, p)
-                rv2 = combine_with_n(rvv, 2, p)
-                eval_2 = (
-                    eval_2
-                    + sum(gate_term(tp2[t], lv2[t], rv2[t], gate.op) for t in range(size))
-                ) % p
-                tp3 = combine_with_n(tp, 3, p)
-                lv3 = combine_with_n(lvv, 3, p)
-                rv3 = combine_with_n(rvv, 3, p)
-                eval_3 = (
-                    eval_3
-                    + sum(gate_term(tp3[t], lv3[t], rv3[t], gate.op) for t in range(size))
-                ) % p
+            if use_dev:
+                eval_0, eval_2, eval_3 = ds.hyrax_p1_round(
+                    TP, CE, li_d, ri_d, mulmask
+                )
+            else:
+                eval_0 = eval_2 = eval_3 = 0
+                for gate, tp in zip(gates, temp_vec):
+                    lvv = circuit_evals[gate.left_node]
+                    rvv = circuit_evals[gate.right_node]
+                    eval_0 = (
+                        eval_0
+                        + sum(gate_term(tp[t], lvv[t], rvv[t], gate.op) for t in range(size))
+                    ) % p
+                    tp2 = combine_with_n(tp, 2, p)
+                    lv2 = combine_with_n(lvv, 2, p)
+                    rv2 = combine_with_n(rvv, 2, p)
+                    eval_2 = (
+                        eval_2
+                        + sum(gate_term(tp2[t], lv2[t], rv2[t], gate.op) for t in range(size))
+                    ) % p
+                    tp3 = combine_with_n(tp, 3, p)
+                    lv3 = combine_with_n(lvv, 3, p)
+                    rv3 = combine_with_n(rvv, 3, p)
+                    eval_3 = (
+                        eval_3
+                        + sum(gate_term(tp3[t], lv3[t], rv3[t], gate.op) for t in range(size))
+                    ) % p
             eval_1 = (claim - eval_0) % p
             a_c = (-eval_0 + 3 * eval_1 - 3 * eval_2 + eval_3) * six_inv % p
             b_c = (2 * eval_0 - 5 * eval_1 + 4 * eval_2 - eval_3) * two_inv % p
@@ -187,8 +228,12 @@ class ZkSumcheckProof:
             )
             transcript.append_message(b"comm_poly", point_bytes(curve, comm_poly))
             r_i = challenge32(curve, transcript, b"challenge_nextround")
-            temp_vec = [combine_with_n(t, r_i, p) for t in temp_vec]
-            circuit_evals = [combine_with_n(v, r_i, p) for v in circuit_evals]
+            if use_dev:
+                TP = ds.bind_axis1(TP, r_i)
+                CE = ds.bind_axis1(CE, r_i)
+            else:
+                temp_vec = [combine_with_n(t, r_i, p) for t in temp_vec]
+                circuit_evals = [combine_with_n(v, r_i, p) for v in circuit_evals]
             eval_ri = _poly_eval(coeffs, r_i, p)
             comm_eval = poly_commit_vec(
                 curve, params.gen_1.generators, [eval_ri], params.gen_1.h,
@@ -202,35 +247,49 @@ class ZkSumcheckProof:
             comm_claim = comm_eval
             claim = eval_ri
 
-        v_vec = [ev[0] for ev in circuit_evals]
-        temp_p_xg_vec = [t[0] for t in temp_vec]
-        eq_node_vec = [eval_eq(convert_to_bit(i, log_ng), p) for i in range(ng)]
-        left_eq_vec = [list(eq_node_vec[g.left_node]) for g in gates]
-        right_eq_vec = [list(eq_node_vec[g.right_node]) for g in gates]
+        if use_dev:
+            v_dev = CE[:, 0]  # (num_nodes, L); num_nodes == ng node space
+            tpx_dev = TP[:, 0]  # (ng, L)
+            LEQ = ds.one_hot_rows(li, ng)
+            REQ = ds.one_hot_rows(ri, ng)
+            rv_dev = v_dev[ri_d]
+            VL = v_dev
+        else:
+            v_vec = [ev[0] for ev in circuit_evals]
+            temp_p_xg_vec = [t[0] for t in temp_vec]
+            eq_node_vec = [eval_eq(convert_to_bit(i, log_ng), p) for i in range(ng)]
+            left_eq_vec = [list(eq_node_vec[g.left_node]) for g in gates]
+            right_eq_vec = [list(eq_node_vec[g.right_node]) for g in gates]
 
         # ---- sumcheck #2 (left gate bits) ----
         size = ng
         r0 = []
-        v_vec_left = list(v_vec)
+        if not use_dev:
+            v_vec_left = list(v_vec)
         for j in range(log_ng):
             size //= 2
-            eval_0 = eval_2 = 0
-            for tpx, gate, leq in zip(temp_p_xg_vec, gates, left_eq_vec):
-                rv = v_vec[gate.right_node]
-                for i in range(size):
-                    lv = v_vec_left[i]
-                    eval_0 = (
-                        eval_0
-                        + leq[i] * tpx % p * ((lv + rv) % p if gate.op == 0 else lv * rv % p)
-                    ) % p
-                leq2 = combine_with_n(leq, 2, p)
-                vl2 = combine_with_n(v_vec_left, 2, p)
-                for i in range(size):
-                    lv = vl2[i]
-                    eval_2 = (
-                        eval_2
-                        + leq2[i] * tpx % p * ((lv + rv) % p if gate.op == 0 else lv * rv % p)
-                    ) % p
+            if use_dev:
+                eval_0, eval_2 = ds.hyrax_p23_round(
+                    LEQ, VL, tpx_dev, rv_dev, mulmask
+                )
+            else:
+                eval_0 = eval_2 = 0
+                for tpx, gate, leq in zip(temp_p_xg_vec, gates, left_eq_vec):
+                    rv = v_vec[gate.right_node]
+                    for i in range(size):
+                        lv = v_vec_left[i]
+                        eval_0 = (
+                            eval_0
+                            + leq[i] * tpx % p * ((lv + rv) % p if gate.op == 0 else lv * rv % p)
+                        ) % p
+                    leq2 = combine_with_n(leq, 2, p)
+                    vl2 = combine_with_n(v_vec_left, 2, p)
+                    for i in range(size):
+                        lv = vl2[i]
+                        eval_2 = (
+                            eval_2
+                            + leq2[i] * tpx % p * ((lv + rv) % p if gate.op == 0 else lv * rv % p)
+                        ) % p
             eval_1 = (claim - eval_0) % p
             a_c = (eval_0 - 2 * eval_1 + eval_2) * two_inv % p
             c_c = eval_0 % p
@@ -243,8 +302,12 @@ class ZkSumcheckProof:
             )
             transcript.append_message(b"comm_poly", point_bytes(curve, comm_poly))
             r_i = challenge32(curve, transcript, b"challenge_nextround")
-            left_eq_vec = [combine_with_n(le, r_i, p) for le in left_eq_vec]
-            v_vec_left = combine_with_n(v_vec_left, r_i, p)
+            if use_dev:
+                LEQ = ds.bind_axis1(LEQ, r_i)
+                VL = ds.bind(VL, r_i)
+            else:
+                left_eq_vec = [combine_with_n(le, r_i, p) for le in left_eq_vec]
+                v_vec_left = combine_with_n(v_vec_left, r_i, p)
             eval_ri = _poly_eval(coeffs, r_i, p)
             comm_eval = poly_commit_vec(
                 curve, params.gen_1.generators, [eval_ri], params.gen_1.h,
@@ -258,31 +321,43 @@ class ZkSumcheckProof:
             comm_claim = comm_eval
             claim = eval_ri
 
-        temp_p_xg_vec = [le[0] * t % p for le, t in zip(left_eq_vec, temp_p_xg_vec)]
-        x = v_vec_left[0]
+        if use_dev:
+            tpx_dev = frd.mul(LEQ[:, 0], tpx_dev)
+            x = ds.decode_scalar(VL[0])
+            VR = v_dev
+            xg_dev = jnp.broadcast_to(frd.encode([x]), rv_dev.shape)
+        else:
+            temp_p_xg_vec = [le[0] * t % p for le, t in zip(left_eq_vec, temp_p_xg_vec)]
+            x = v_vec_left[0]
 
         # ---- sumcheck #3 (right gate bits) ----
         size = ng
         r1 = []
-        v_vec_right = list(v_vec)
+        if not use_dev:
+            v_vec_right = list(v_vec)
         for j in range(log_ng):
             size //= 2
-            eval_0 = eval_2 = 0
-            for tpx, gate, req in zip(temp_p_xg_vec, gates, right_eq_vec):
-                for i in range(size):
-                    rv = v_vec_right[i]
-                    eval_0 = (
-                        eval_0
-                        + req[i] * tpx % p * ((x + rv) % p if gate.op == 0 else x * rv % p)
-                    ) % p
-                req2 = combine_with_n(req, 2, p)
-                vr2 = combine_with_n(v_vec_right, 2, p)
-                for i in range(size):
-                    rv = vr2[i]
-                    eval_2 = (
-                        eval_2
-                        + req2[i] * tpx % p * ((x + rv) % p if gate.op == 0 else x * rv % p)
-                    ) % p
+            if use_dev:
+                eval_0, eval_2 = ds.hyrax_p23_round(
+                    REQ, VR, tpx_dev, xg_dev, mulmask
+                )
+            else:
+                eval_0 = eval_2 = 0
+                for tpx, gate, req in zip(temp_p_xg_vec, gates, right_eq_vec):
+                    for i in range(size):
+                        rv = v_vec_right[i]
+                        eval_0 = (
+                            eval_0
+                            + req[i] * tpx % p * ((x + rv) % p if gate.op == 0 else x * rv % p)
+                        ) % p
+                    req2 = combine_with_n(req, 2, p)
+                    vr2 = combine_with_n(v_vec_right, 2, p)
+                    for i in range(size):
+                        rv = vr2[i]
+                        eval_2 = (
+                            eval_2
+                            + req2[i] * tpx % p * ((x + rv) % p if gate.op == 0 else x * rv % p)
+                        ) % p
             eval_1 = (claim - eval_0) % p
             a_c = (eval_0 - 2 * eval_1 + eval_2) * two_inv % p
             c_c = eval_0 % p
@@ -295,8 +370,12 @@ class ZkSumcheckProof:
             )
             transcript.append_message(b"comm_poly", point_bytes(curve, comm_poly))
             r_i = challenge32(curve, transcript, b"challenge_nextround")
-            right_eq_vec = [combine_with_n(re, r_i, p) for re in right_eq_vec]
-            v_vec_right = combine_with_n(v_vec_right, r_i, p)
+            if use_dev:
+                REQ = ds.bind_axis1(REQ, r_i)
+                VR = ds.bind(VR, r_i)
+            else:
+                right_eq_vec = [combine_with_n(re, r_i, p) for re in right_eq_vec]
+                v_vec_right = combine_with_n(v_vec_right, r_i, p)
             eval_ri = _poly_eval(coeffs, r_i, p)
             comm_eval = poly_commit_vec(
                 curve, params.gen_1.generators, [eval_ri], params.gen_1.h,
@@ -309,7 +388,7 @@ class ZkSumcheckProof:
             comm_evals.append(comm_eval)
             comm_claim = comm_eval
             claim = eval_ri
-        y = v_vec_right[0]
+        y = ds.decode_scalar(VR[0]) if use_dev else v_vec_right[0]
 
         m_vec = construct_matrix((rs, r0, r1), q_vec, gates, u, log_n, log_ng, p)
         pie_vec = []

@@ -102,6 +102,175 @@ class SumCheckProof:
     poly_value_at_r: list[int]
 
 
+# ---- device-resident path (ops/sumcheck.py): eval tables live on the TPU
+# as Montgomery limb arrays; each round sends only (eval_0, eval_2) to the
+# host where the transcript runs, then binds the tables with the challenge.
+# Byte-identical proofs to the host path (tests/test_libra.py equality).
+def _use_device(bit_size: int) -> bool:
+    from ...ops.sumcheck import DEVICE_SUMCHECK_MIN
+
+    return (1 << bit_size) >= DEVICE_SUMCHECK_MIN
+
+
+def _quad_coeffs(e0: int, e2: int, claim: int, p: int):
+    two_inv = pow(2, -1, p)
+    e1 = (claim - e0) % p
+    a_c = (e0 - 2 * e1 + e2) * two_inv % p
+    c_c = e0 % p
+    b_c = (e1 - a_c - c_c) % p
+    return [c_c, b_c, a_c]
+
+
+def _phase_one_device(curve, ds, pf, tabs, bit_size, claim, transcript):
+    p = curve.fr.modulus
+    pmul, pa1, pa2 = tabs
+    rs, polys = [], []
+    for _ in range(bit_size):
+        e0, e2 = ds.libra_p1_round(pf, pmul, pa1, pa2)
+        poly = _quad_coeffs(e0, e2, claim, p)
+        transcript.append_message(b"poly", _poly_bytes(curve, poly))
+        r_i = _challenge32(curve, transcript, b"challenge_nextround")
+        pf, pmul, pa1, pa2 = (
+            ds.bind(pf, r_i), ds.bind(pmul, r_i),
+            ds.bind(pa1, r_i), ds.bind(pa2, r_i),
+        )
+        claim = _poly_eval(poly, r_i, p)
+        rs.append(r_i)
+        polys.append(poly)
+    values = ds.firsts(pf, pmul, pa1, pa2)
+    transcript.append_message(
+        b"claim_final", b"".join(fr_bytes(curve, v) for v in values)
+    )
+    return SumCheckProof(polys, values), rs
+
+
+def _phase_two_device(curve, ds, pf, tabs, fu, bit_size, claim, transcript):
+    p = curve.fr.modulus
+    pmul, padd = tabs
+    rs, polys = [], []
+    for _ in range(bit_size):
+        e0, e2 = ds.libra_p2_round(pf, pmul, padd, fu)
+        poly = _quad_coeffs(e0, e2, claim, p)
+        transcript.append_message(b"poly", _poly_bytes(curve, poly))
+        r_i = _challenge32(curve, transcript, b"challenge_nextround")
+        pf, pmul, padd = (
+            ds.bind(pf, r_i), ds.bind(pmul, r_i), ds.bind(padd, r_i)
+        )
+        claim = _poly_eval(poly, r_i, p)
+        rs.append(r_i)
+        polys.append(poly)
+    values = ds.firsts(pf, pmul, padd)
+    transcript.append_message(
+        b"claim_final", b"".join(fr_bytes(curve, v) for v in values)
+    )
+    return SumCheckProof(polys, values), rs
+
+
+class DeviceLayer:
+    """Device-resident bookkeeping tables for one GKR layer (shared by the
+    plain and zk provers): eval_eq challenge tables, the eval_hg /
+    eval_fgu scatter-accumulations and the value vector all live on device
+    as Montgomery limb arrays (libra_linear_gkr.rs:201-244,
+    evaluate.rs:79-120)."""
+
+    def __init__(self, curve, gu, gv, gates, v_vec, uv_size, alpha, beta):
+        from ...ops.sumcheck import DeviceSumcheck, gkr_tables_phase_one
+
+        self.curve = curve
+        self.gates = gates
+        self.uv_size = uv_size
+        self.ds = DeviceSumcheck(curve.fr)
+        fr = self.ds.fr
+        egu = self.ds.eval_eq(gu)
+        egv = self.ds.eval_eq(gv)
+        self.eg = fr.add(
+            fr.mul(egu, fr.encode([alpha])), fr.mul(egv, fr.encode([beta]))
+        )
+        self.v_dev = self.ds.encode_table(v_vec)
+        self.tabs1 = gkr_tables_phase_one(
+            self.ds, self.eg, self.v_dev, gates, uv_size
+        )
+
+    def phase_two(self, ru):
+        """-> (tabs2, fu) after the phase-one challenges are known."""
+        from ...ops.sumcheck import gkr_tables_phase_two
+
+        ds = self.ds
+        eru = ds.eval_eq(ru)
+        fu = ds.decode_scalar(ds._sum(ds.fr.mul(self.v_dev, eru)))
+        tabs2 = gkr_tables_phase_two(
+            ds, self.eg, eru, self.gates, self.uv_size
+        )
+        return tabs2, fu
+
+
+class DeviceRounds:
+    """Round engine over device tables: evals() sends only (eval_0, eval_2)
+    to host; bind() halves every table with the round challenge."""
+
+    def __init__(self, ds, f_dev, tabs, fu: int | None = None):
+        self.ds = ds
+        self.f = f_dev
+        self.tabs = list(tabs)
+        self.fu = fu  # set => phase-two term; None => phase-one
+
+    def evals(self):
+        if self.fu is None:
+            return self.ds.libra_p1_round(self.f, *self.tabs)
+        return self.ds.libra_p2_round(self.f, *self.tabs, self.fu)
+
+    def bind(self, r: int):
+        self.f = self.ds.bind(self.f, r)
+        self.tabs = [self.ds.bind(t, r) for t in self.tabs]
+
+    def finals(self) -> list[int]:
+        return self.ds.firsts(self.f, *self.tabs)
+
+
+class HostRounds:
+    """Host-int round engine (the original _sumcheck inner loop)."""
+
+    def __init__(self, p, f_vec, tables, term_fn):
+        self.p = p
+        self.f = list(f_vec)
+        self.tabs = [list(t) for t in tables]
+        self.term = term_fn
+
+    def evals(self):
+        p = self.p
+        size = len(self.f) // 2
+        e0 = sum(self.term(self.f, self.tabs, j) for j in range(size)) % p
+        f2 = _combine(self.f, 2, p)
+        tabs2 = [_combine(t, 2, p) for t in self.tabs]
+        e2 = sum(self.term(f2, tabs2, j) for j in range(size)) % p
+        return e0, e2
+
+    def bind(self, r: int):
+        self.f = _combine(self.f, r, self.p)
+        self.tabs = [_combine(t, r, self.p) for t in self.tabs]
+
+    def finals(self) -> list[int]:
+        return [self.f[0]] + [t[0] for t in self.tabs]
+
+
+def _layer_device(curve, gu, gv, gates, v_vec, uv_size, alpha, beta, claim,
+                  transcript):
+    """One GKR layer (both phases) with device-resident tables; only the
+    round scalars and final claims cross to the host."""
+    p = curve.fr.modulus
+    layer = DeviceLayer(curve, gu, gv, gates, v_vec, uv_size, alpha, beta)
+    proof1, ru = _phase_one_device(
+        curve, layer.ds, layer.v_dev, layer.tabs1, uv_size, claim, transcript
+    )
+    e = proof1.poly_value_at_r
+    claim2 = (e[0] * e[1] + e[0] * e[2] + e[3]) % p
+    tabs2, fu = layer.phase_two(ru)
+    proof2, rv = _phase_two_device(
+        curve, layer.ds, layer.v_dev, tabs2, fu, uv_size, claim2, transcript
+    )
+    return proof1, ru, proof2, rv, fu
+
+
 def _sumcheck(curve, f_vec, tables, term_fn, bit_size, claim, transcript):
     """Generic round loop shared by phase one/two (term_fn computes the
     per-index summand from the current tables + f)."""
@@ -198,6 +367,19 @@ class LinearGKRProof:
         for d in range(circuit.depth - 1, 0, -1):
             claim = (alpha * result_u + beta * result_v) % p
             uv_size = circuit.layers[d - 1].bit_size
+            if _use_device(uv_size):
+                proof1, ru, proof2, rv, fu = _layer_device(
+                    curve, gu, gv, circuit.layers[d].gates, evals[d - 1],
+                    uv_size, alpha, beta, claim, transcript,
+                )
+                ev = proof2.poly_value_at_r
+                proofs.append(LayerProof(proof1, proof2))
+                if d > 1:
+                    gu, gv = ru, rv
+                    result_u, result_v = fu, ev[0]
+                    alpha = _challenge32(curve, transcript, b"challenge_alpha")
+                    beta = _challenge32(curve, transcript, b"challenge_beta")
+                continue
             g1tables = initialize_phase_one(
                 gu, gv, circuit.layers[d].gates, evals[d - 1], uv_size, alpha, beta, p
             )

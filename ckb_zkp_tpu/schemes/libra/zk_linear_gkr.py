@@ -26,8 +26,12 @@ from ..hyrax.params import (
 from ..spartan.common import packing_poly_commit, poly_commit_vec
 from .circuit import Circuit
 from .linear_gkr import (
+    DeviceLayer,
+    DeviceRounds,
+    HostRounds,
     _combine,
     _poly_eval,
+    _use_device,
     eval_output,
     eval_value,
     initialize_phase_one,
@@ -139,8 +143,10 @@ class ZKSumCheckProof:
     proofs: list[SumCheckEvalProof]
 
     @classmethod
-    def _rounds(cls, curve, params, f_vec, tables, term_fn, bit_size, claim,
+    def _rounds(cls, curve, params, engine, bit_size, claim,
                 blind_claim, rng, transcript):
+        """engine: HostRounds or DeviceRounds (linear_gkr) — evals()/bind()
+        over the halving tables; commitments/sigma proofs stay host-side."""
         p = curve.fr.modulus
         two_inv = pow(2, -1, p)
         blind_polys = [rng.randrange(p) for _ in range(bit_size)]
@@ -150,16 +156,9 @@ class ZKSumCheckProof:
             curve, params.gen_1.generators, [claim], params.gen_1.h, blind_claim
         )
         comm_polys, comm_evals, proofs = [], [], []
-        f = list(f_vec)
-        tabs = [list(t) for t in tables]
-        size = len(f)
         for i in range(bit_size):
-            size //= 2
-            eval_0 = sum(term_fn(f, tabs, j) for j in range(size)) % p
+            eval_0, eval_2 = engine.evals()
             eval_1 = (claim - eval_0) % p
-            f2 = _combine(f, 2, p)
-            tabs2 = [_combine(t, 2, p) for t in tabs]
-            eval_2 = sum(term_fn(f2, tabs2, j) for j in range(size)) % p
             a_c = (eval_0 - 2 * eval_1 + eval_2) * two_inv % p
             c_c = eval_0 % p
             b_c = (eval_1 - a_c - c_c) % p
@@ -169,8 +168,7 @@ class ZKSumCheckProof:
             )
             transcript.append_message(b"comm_poly", point_bytes(curve, comm_poly))
             r_i = challenge32(curve, transcript, b"challenge_nextround")
-            f = _combine(f, r_i, p)
-            tabs = [_combine(t, r_i, p) for t in tabs]
+            engine.bind(r_i)
             eval_ri = _poly_eval(poly, r_i, p)
             comm_eval = poly_commit_vec(
                 curve, params.gen_1.generators, [eval_ri], params.gen_1.h, blind_evals[i]
@@ -190,26 +188,28 @@ class ZKSumCheckProof:
             proofs.append(prf)
         return (
             cls(comm_polys=comm_polys, comm_evals=comm_evals, proofs=proofs),
-            f, tabs, blind_evals[bit_size - 1], rs,
+            engine.finals(), blind_evals[bit_size - 1], rs,
         )
 
     @classmethod
     def phase_one_prover(cls, curve, params, f_vec, g_vec, bit_size, claim,
-                         blind_claim, rng, transcript):
+                         blind_claim, rng, transcript, engine=None):
         p = curve.fr.modulus
 
         def term(f, tabs, j):
             mul, a1, a2 = tabs
             return (f[j] * mul[j] + f[j] * a1[j] + a2[j]) % p
 
-        proof, f, tabs, blind, ru = cls._rounds(
-            curve, params, f_vec, g_vec, term, bit_size, claim, blind_claim, rng, transcript
+        if engine is None:
+            engine = HostRounds(p, f_vec, g_vec, term)
+        proof, finals, blind, ru = cls._rounds(
+            curve, params, engine, bit_size, claim, blind_claim, rng, transcript
         )
-        return proof, [f[0], tabs[0][0], tabs[1][0], tabs[2][0]], blind, ru
+        return proof, finals[:4], blind, ru
 
     @classmethod
     def phase_two_prover(cls, curve, params, f_vec, g_vec, bit_size, claim,
-                         blind_claim, rng, transcript):
+                         blind_claim, rng, transcript, engine=None):
         p = curve.fr.modulus
         mul_hg, add_hg, fu = g_vec
 
@@ -217,11 +217,12 @@ class ZKSumCheckProof:
             mul, add = tabs
             return (mul[j] * f[j] % p * fu + add[j] * fu + add[j] * f[j]) % p
 
-        proof, f, tabs, blind, rv = cls._rounds(
-            curve, params, f_vec, (mul_hg, add_hg), term, bit_size, claim,
-            blind_claim, rng, transcript,
+        if engine is None:
+            engine = HostRounds(p, f_vec, (mul_hg, add_hg), term)
+        proof, finals, blind, rv = cls._rounds(
+            curve, params, engine, bit_size, claim, blind_claim, rng, transcript,
         )
-        return proof, [f[0], tabs[0][0], tabs[1][0], fu], blind, rv
+        return proof, finals[:3] + [fu], blind, rv
 
 
 @dataclass
@@ -275,13 +276,30 @@ class ZKLinearGKRProof:
         for d in range(circuit.depth - 1, 0, -1):
             claim = (alpha * result_u + beta * result_v) % p
             uv_size = circuit.layers[d - 1].bit_size
-            tabs1 = initialize_phase_one(
-                gu, gv, circuit.layers[d].gates, evals[d - 1], uv_size, alpha, beta, p
+            dev_layer = (
+                DeviceLayer(
+                    curve, gu, gv, circuit.layers[d].gates, evals[d - 1],
+                    uv_size, alpha, beta,
+                )
+                if _use_device(uv_size)
+                else None
             )
-            proof1, eval_ru, blind_u, ru = ZKSumCheckProof.phase_one_prover(
-                curve, params.sc_params, evals[d - 1], tabs1, uv_size, claim,
-                claim_blind, rng, transcript,
-            )
+            if dev_layer is not None:
+                engine1 = DeviceRounds(
+                    dev_layer.ds, dev_layer.v_dev, dev_layer.tabs1
+                )
+                proof1, eval_ru, blind_u, ru = ZKSumCheckProof.phase_one_prover(
+                    curve, params.sc_params, None, (None,) * 3, uv_size,
+                    claim, claim_blind, rng, transcript, engine=engine1,
+                )
+            else:
+                tabs1 = initialize_phase_one(
+                    gu, gv, circuit.layers[d].gates, evals[d - 1], uv_size, alpha, beta, p
+                )
+                proof1, eval_ru, blind_u, ru = ZKSumCheckProof.phase_one_prover(
+                    curve, params.sc_params, evals[d - 1], tabs1, uv_size, claim,
+                    claim_blind, rng, transcript,
+                )
             claim = (eval_ru[0] * eval_ru[1] + eval_ru[0] * eval_ru[2] + eval_ru[3]) % p
             rx = rng.randrange(p)
             comm_x = poly_commit_vec(
@@ -289,13 +307,23 @@ class ZKLinearGKRProof:
                 params.sc_params.gen_1.h, rx,
             )
             transcript.append_message(b"comm_x", point_bytes(curve, comm_x))
-            mul_hg, add_hg, fu = initialize_phase_two(
-                gu, gv, ru, circuit.layers[d].gates, evals[d - 1], uv_size, alpha, beta, p
-            )
-            proof2, eval_rv, blind_v, rv = ZKSumCheckProof.phase_two_prover(
-                curve, params.sc_params, evals[d - 1], (mul_hg, add_hg, fu),
-                uv_size, claim, blind_u, rng, transcript,
-            )
+            if dev_layer is not None:
+                tabs2, fu = dev_layer.phase_two(ru)
+                engine2 = DeviceRounds(
+                    dev_layer.ds, dev_layer.v_dev, tabs2, fu
+                )
+                proof2, eval_rv, blind_v, rv = ZKSumCheckProof.phase_two_prover(
+                    curve, params.sc_params, None, (None, None, fu),
+                    uv_size, claim, blind_u, rng, transcript, engine=engine2,
+                )
+            else:
+                mul_hg, add_hg, fu = initialize_phase_two(
+                    gu, gv, ru, circuit.layers[d].gates, evals[d - 1], uv_size, alpha, beta, p
+                )
+                proof2, eval_rv, blind_v, rv = ZKSumCheckProof.phase_two_prover(
+                    curve, params.sc_params, evals[d - 1], (mul_hg, add_hg, fu),
+                    uv_size, claim, blind_u, rng, transcript,
+                )
             ry = rng.randrange(p)
             comm_y = poly_commit_vec(
                 curve, params.sc_params.gen_1.generators, [eval_rv[0]],

@@ -62,3 +62,82 @@ def test_libra_zk_linear_gkr(curve):
     bad = list(output)
     bad[0] = (bad[0] + 1) % curve.fr.modulus
     assert not proof.verify(params, circuit, bad, inputs, chash, phash)
+
+
+def test_libra_device_sumcheck_matches_host(curve, monkeypatch):
+    """Device-resident GKR layer (eval_eq/eval_hg tables + sumcheck rounds
+    on device, round scalars only to host) produces byte-identical proofs
+    to the host-int path (VERDICT r2 item 4; reference tables:
+    libra_linear_gkr.rs:201-244)."""
+    import random as _random
+
+    from ckb_zkp_tpu.schemes.libra import linear_gkr
+
+    p = curve.fr.modulus
+    rng = _random.Random(17)
+    width = 128  # layer bit_size 7 per level
+    inputs = [rng.randrange(p) for _ in range(width)]
+    witnesses = [rng.randrange(p) for _ in range(width)]
+    nprev = 2 * width
+    layers = []
+    for _ in range(2):
+        layers.append(
+            [
+                (rng.randrange(2), rng.randrange(nprev), rng.randrange(nprev))
+                for _ in range(width)
+            ]
+        )
+        nprev = width
+    circuit = Circuit(len(inputs), len(witnesses), layers)
+    chash = circuit.circuit_to_hash(curve)
+
+    monkeypatch.setattr(linear_gkr, "_use_device", lambda bits: False)
+    want, out_w = LinearGKRProof.prover(curve, circuit, inputs, witnesses, chash)
+    monkeypatch.setattr(linear_gkr, "_use_device", lambda bits: True)
+    got, out_g = LinearGKRProof.prover(curve, circuit, inputs, witnesses, chash)
+    assert out_w == out_g
+    assert got == want
+    assert got.verify(curve, circuit, out_g, witnesses + inputs, chash)
+
+
+def test_libra_zk_device_sumcheck_matches_host(curve, monkeypatch):
+    """zk variant: device round engines produce byte-identical proofs
+    (same transcript, same rng stream) to the host path."""
+    import random as _random
+
+    from ckb_zkp_tpu.schemes.libra import linear_gkr, zk_linear_gkr
+
+    p = curve.fr.modulus
+    rng = _random.Random(23)
+    width = 64
+    inputs = [rng.randrange(p) for _ in range(width)]
+    witnesses = [rng.randrange(p) for _ in range(width)]
+    nprev = 2 * width
+    layers = []
+    for _ in range(2):
+        layers.append(
+            [
+                (rng.randrange(2), rng.randrange(nprev), rng.randrange(nprev))
+                for _ in range(width)
+            ]
+        )
+        nprev = width
+    circuit = Circuit(len(inputs), len(witnesses), layers)
+    params = Parameters.new(curve, _random.Random(9), 2 * width)
+    chash = circuit.circuit_to_hash(curve)
+    phash = params.param_to_hash()
+
+    # zk_linear_gkr binds _use_device by value at import
+    monkeypatch.setattr(zk_linear_gkr, "_use_device", lambda bits: False)
+    want, out_w = ZKLinearGKRProof.prover(
+        params, circuit, inputs, witnesses, chash, phash, _random.Random(4)
+    )
+    monkeypatch.setattr(zk_linear_gkr, "_use_device", lambda bits: True)
+    got, out_g = ZKLinearGKRProof.prover(
+        params, circuit, inputs, witnesses, chash, phash, _random.Random(4)
+    )
+    assert out_w == out_g
+    assert got == want
+    assert got.verify(
+        params, circuit, out_g, inputs, chash, phash
+    )
