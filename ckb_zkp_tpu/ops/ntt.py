@@ -128,24 +128,28 @@ class Domain:
         minutes to compile through the TPU tunnel's remote compiler.
         """
         df, n = self.df, self.n
+        L = df.L
         assert x.shape[0] == n, (x.shape, n)
         if coset and not inverse:
             x = df.mul(x, coset_scale)
         if n > 1:
+            # DIF stages unrolled with STATIC shapes: each stage is two
+            # contiguous reshape-slices, one add, one sub-mul and a stack —
+            # no partner gathers (a (n, L) row gather costs ~40 ms at 2^21
+            # on the TPU, x2 per stage x 21 stages it dominated the whole
+            # witness map — BENCH r3 run 2). Every stage's field ops
+            # flatten to the same (n/2, L) shape, so ONE compiled mul
+            # kernel serves all stages. Twiddles omega^(j << s) are strided
+            # slices of the power table.
             logn = n.bit_length() - 1
-            idx = jnp.arange(n, dtype=jnp.int32)
-
-            def stage(s, y):
-                half = jnp.int32(n) >> (s + 1)
-                u = jnp.take(y, idx ^ half, axis=0)  # partner rows
-                bottom = (idx & half) != 0
-                e = (idx & (half - 1)) << s
-                tw = jnp.take(table, e, axis=0)
-                top = df.add(y, u)
-                bot = df.mul(df.sub(u, y), tw)
-                return jnp.where(bottom[:, None], bot, top)
-
-            x = jax.lax.fori_loop(0, logn, stage, x)
+            for s in range(logn):
+                half = n >> (s + 1)
+                y = x.reshape(-1, 2, half, L)
+                a, b = y[:, 0], y[:, 1]
+                top = df.add(a, b)
+                tw = table[:: 1 << s][:half]
+                bot = df.mul(df.sub(a, b), tw[None])
+                x = jnp.stack([top, bot], axis=1).reshape(n, L)
             x = x[bitrev]
         if inverse:
             x = df.mul(x, df.const(self.n_inv, (1,)))

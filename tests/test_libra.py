@@ -123,7 +123,8 @@ def test_libra_zk_device_sumcheck_matches_host(curve, monkeypatch):
         )
         nprev = width
     circuit = Circuit(len(inputs), len(witnesses), layers)
-    params = Parameters.new(curve, _random.Random(9), 2 * width)
+    # size argument is log2 of the committed witness vector
+    params = Parameters.new(curve, _random.Random(9), 6)
     chash = circuit.circuit_to_hash(curve)
     phash = params.param_to_hash()
 
