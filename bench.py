@@ -292,18 +292,32 @@ def child_main() -> None:
 
     if remaining() > 60:
         set_stage("ntt24")
+        import gc
+
+        # free the 2^20 prover working set (query arrays etc.) before the
+        # 1 GB-per-array 2^24 domain
+        last = None
+        gc.collect()
         from ckb_zkp_tpu.ops.field import device_field
         from ckb_zkp_tpu.ops.ntt import get_domain
 
         fr = device_field(curve.fr)
-        m = 1 << 24
-        dom = get_domain(curve.fr, m)
-        x = fr.from_mont(fr.ones((m,)))  # cheap device-built input
-        sync(dom.ntt(x))
-        t0 = time.time()
-        sync(dom.ntt(x))
-        STATE["extra"]["ntt_2^24_ms"] = round((time.time() - t0) * 1000.0, 3)
-        checkpoint()
+        for k24 in (24, 22):
+            try:
+                m = 1 << k24
+                dom = get_domain(curve.fr, m)
+                x = fr.from_mont(fr.ones((m,)))
+                sync(dom.ntt(x))
+                t0 = time.time()
+                sync(dom.ntt(x))
+                STATE["extra"][f"ntt_2^{k24}_ms"] = round(
+                    (time.time() - t0) * 1000.0, 3
+                )
+                checkpoint()
+                break
+            except Exception as e:  # noqa: BLE001 — record and try smaller
+                STATE["extra"][f"ntt_2^{k24}_error"] = f"{type(e).__name__}"[:80]
+                checkpoint()
 
     set_stage("done")
     checkpoint()

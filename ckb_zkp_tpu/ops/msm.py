@@ -668,14 +668,27 @@ class DeviceCurveGroup:
         X, Y, Z = P
         inf = self.cf.is_zero(Z)
         ident_q = rg.identity((nb,))
+        packed = _rcb_kernel_ok(rg, n)
+        if packed:
+            # pack two 16-bit limbs per u32 word ONCE: per-window gathers
+            # and leaf-tile transposes then move half the bytes
+            from .pallas_rcb import pack_limbs, rcb_scan_prefix_madd_packed
+
+            Xp = pack_limbs(rg, X)
+            Yp = pack_limbs(rg, Y)
 
         def window(w):
             bitpos = w * c
             limb = jnp.take(scalars, bitpos // BASE_BITS, axis=1)
             digits = (limb >> (bitpos % BASE_BITS)) & jnp.uint32(nb - 1)
             order = jnp.argsort(digits)
-            leaves = (X[order], Y[order], inf[order])
-            w_get, T = _scan_prefix_madd(rg, leaves, _RCB_B)
+            if packed:
+                w_get, T = rcb_scan_prefix_madd_packed(
+                    rg, (Xp[order], Yp[order], inf[order]), _RCB_B
+                )
+            else:
+                leaves = (X[order], Y[order], inf[order])
+                w_get, T = _scan_prefix_madd(rg, leaves, _RCB_B)
             pfull = _full_prefix(rg, T, _RCB_B)
             cnt = _bucket_counts(digits, nb)
             q = cnt.astype(jnp.int32) - 1

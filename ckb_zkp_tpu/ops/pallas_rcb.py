@@ -153,7 +153,39 @@ def _madd_kernel(F, x1, y1, z1, x2, y2, f2, ox, oy, oz):
     oz[:] = jnp.stack(Z3, axis=0)
 
 
+def _unpack_limb_rows(rows):
+    """R/2 packed u32 rows (two 16-bit limbs each) -> R limb rows."""
+    out = []
+    for v in rows:
+        out.append(v & jnp.uint32(0xFFFF))
+        out.append(v >> 16)
+    return out
+
+
 # ------------------------------------------------------------ blocked scans
+def _scan_prefix_madd_packed_kernel(F, B, xr, yr, fr_, wx, wy, wz, tx, ty, tz):
+    """Like _scan_prefix_madd_kernel but the affine leaves arrive PACKED
+    (two 16-bit limbs per u32 word): halves the leaf HBM traffic and the
+    per-window gather bytes. Unpacking is a few VPU shifts per tile."""
+    R = F.ext * F.L
+
+    def body(b, acc):
+        xb, yb = xr[b], yr[b]
+        x_rows = _unpack_limb_rows(_rows(xb, R // 2))
+        y_rows = _unpack_limb_rows(_rows(yb, R // 2))
+        nxt = _rcb_madd_core(F, acc, (x_rows, y_rows), fr_[b] != 0)
+        wx[b] = jnp.stack(nxt[0], axis=0)
+        wy[b] = jnp.stack(nxt[1], axis=0)
+        wz[b] = jnp.stack(nxt[2], axis=0)
+        return nxt
+
+    tile = fr_[0]
+    X, Y, Z = jax.lax.fori_loop(0, B, body, F.identity_rows(tile))
+    tx[:] = jnp.stack(X, axis=0)
+    ty[:] = jnp.stack(Y, axis=0)
+    tz[:] = jnp.stack(Z, axis=0)
+
+
 def _scan_prefix_madd_kernel(F, B, xr, yr, fr_, wx, wy, wz, tx, ty, tz):
     """xr/yr: (B, R, SB, 128) sorted affine leaves, fr_: (B, SB, 128) flags.
     W out: (B, R, SB, 128) x3 inclusive prefixes; T out: (R, SB, 128) x3."""
@@ -313,20 +345,21 @@ def _scan_fn(kind, ext, B, sb, p_limbs, np_limbs, b3_small, b3_limbs):
     R = ext * F.L
     kerns = {
         "prefix_madd": _scan_prefix_madd_kernel,
+        "prefix_madd_packed": _scan_prefix_madd_packed_kernel,
         "prefix_add": _scan_prefix_add_kernel,
         "total_add": _scan_total_add_kernel,
     }
     kern = functools.partial(kerns[kind], F, B)
-    n_in = 3
     with_w = kind != "total_add"
+    r_in = R // 2 if kind == "prefix_madd_packed" else R
 
     @jax.jit
     def run(*ins):  # (B, R, G/128, 128) coords (+ (B, G/128, 128) flags)
         g128 = ins[0].shape[2]
         tshp = jax.ShapeDtypeStruct((R, g128, LANES), jnp.uint32)
         wshp = jax.ShapeDtypeStruct((B, R, g128, LANES), jnp.uint32)
-        in_specs = [_bspec(B, R, sb)] * 2
-        if kind == "prefix_madd":
+        in_specs = [_bspec(B, r_in, sb)] * 2
+        if kind.startswith("prefix_madd"):
             in_specs += [_fspec(B, sb)]
         else:
             in_specs += [_bspec(B, R, sb)]
@@ -443,6 +476,41 @@ def rcb_scan_prefix_madd(rg, leaves, B):
     yb = _to_scan_tiles(R, Yf, G, B)
     fb = inf.astype(jnp.uint32).reshape(G, B).T.reshape(B, G // LANES, LANES)
     fn = _scan_fn("prefix_madd", _ext_of(cf), B, SUBS, *_limbs_of(cf), *_b3_key(rg))
+    wx, wy, wz, tx, ty, tz = fn(xb, yb, fb)
+
+    def w_get(q):
+        g, b = q // B, q % B
+        out = []
+        for w in (wx, wy, wz):
+            w3 = w.reshape(B, R, G)
+            out.append(_unflatten(cf, w3[b, :, g].reshape(q.shape[0], R)))
+        return tuple(out)
+
+    return w_get, _t_to_standard(cf, (tx, ty, tz), G)
+
+
+def pack_limbs(rg, coord):
+    """Standard coord array -> (n, R/2) packed u32 (limb 2i | limb 2i+1<<16)."""
+    cf = rg.cf
+    R = _ext_of(cf) * cf.L
+    flat = _flatten(cf, coord).reshape(-1, R)
+    return flat[:, 0::2] | (flat[:, 1::2] << 16)
+
+
+def rcb_scan_prefix_madd_packed(rg, leaves_packed, B):
+    """rcb_scan_prefix_madd over PACKED leaves (pack_limbs output)."""
+    cf = rg.cf
+    Xp, Yp, inf = leaves_packed
+    R = _ext_of(cf) * cf.L
+    Rp = R // 2
+    N = Xp.shape[0]
+    G = N // B
+    xb = _to_scan_tiles(Rp, Xp, G, B)
+    yb = _to_scan_tiles(Rp, Yp, G, B)
+    fb = inf.astype(jnp.uint32).reshape(G, B).T.reshape(B, G // LANES, LANES)
+    fn = _scan_fn(
+        "prefix_madd_packed", _ext_of(cf), B, SUBS, *_limbs_of(cf), *_b3_key(rg)
+    )
     wx, wy, wz, tx, ty, tz = fn(xb, yb, fb)
 
     def w_get(q):
