@@ -43,7 +43,16 @@ class DeviceCoo:
         cols = np.concatenate(
             [np.asarray(cols, dtype=np.int32), np.full(npad, self.num_cols_pad, np.int32)]
         )
-        coeff_dev = df.encode(list(coeffs) + [0] * npad)
+        # fast path for the overwhelmingly common unit coefficient: one
+        # Montgomery row broadcast instead of nnz python-int conversions
+        # (~25 s of host time per QAP build at 2^20 — bench-critical)
+        coeffs = list(coeffs)
+        if coeffs and all(c == 1 for c in coeffs):
+            one_row = np.asarray(df.r_limbs, dtype=np.uint32)
+            coeff_dev = np.zeros((self.nnz_pad, df.L), dtype=np.uint32)
+            coeff_dev[: self.nnz] = one_row
+        else:
+            coeff_dev = df.encode(coeffs + [0] * npad)
         # row-sorted view (for M @ z); sentinel ids sort last and are dropped
         order_r = np.argsort(rows, kind="stable")
         self.r_rows = jnp.asarray(rows[order_r])
