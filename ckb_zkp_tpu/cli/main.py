@@ -91,6 +91,69 @@ def _srs_from_portable(curve, blob):
     )
 
 
+def _mimc_composer(spec, preimage: bytes, image: int):
+    """PLONK MiMC-preimage circuit through the composer front-end (the
+    gate-level counterpart of the R1CS Hash circuit, cli/src/circuits/
+    hash.rs): per round t = xl + C_i (add gate), t2 = t*t (mul gate),
+    xl' = t2*t + xr (poly gate with the aux wire), 322 rounds; the final
+    state is bound to the public image. Single-block preimages (<= field
+    width) keep the gate count — and therefore the vk — canonical."""
+    from ..gadgets.mimc import MIMC_ROUNDS, _bytes_to_blocks, constants
+    from ..schemes.plonk import Composer
+
+    p = spec.modulus
+    cs = Composer(p)
+    consts = constants(spec)
+    blocks = _bytes_to_blocks(spec, preimage)
+    if len(blocks) != 1:
+        raise SystemExit(
+            "plonk hash circuit supports single-block preimages "
+            f"(<= {spec.nbytes} bytes)"
+        )
+    h = cs.alloc_and_assign(0)
+    cs.constrain_to_constant(h, 0)
+    h_val = 0
+    for blk in blocks:
+        xr = cs.alloc_and_assign(blk)
+        xr_val = blk
+        xl, xl_val = h, h_val
+        for i in range(MIMC_ROUNDS):
+            t_val = (xl_val + consts[i]) % p
+            t = cs.alloc_and_assign(t_val)
+            cs.create_add_gate((xl, 1), (xl, 0), t, q_c=consts[i])
+            t2_val = t_val * t_val % p
+            t2 = cs.alloc_and_assign(t2_val)
+            cs.create_mul_gate(t, t, t2)
+            new_val = (t2_val * t_val + xr_val) % p
+            new_xl = cs.alloc_and_assign(new_val)
+            cs.create_poly_gate(
+                (t2, 0), (t, 0), (new_xl, -1), (xr, 1), 1, 0, 0
+            )
+            xl, xr, xl_val, xr_val = new_xl, xl, new_val, xl_val
+        h, h_val = xl, xl_val
+    cs.constrain_to_constant(h, 0, pi=image)
+    return cs
+
+
+def _plonk_composer(curve, circuit_name: str, args: list[str], power_on: bool):
+    """Composer + publics for the plonk CLI circuits."""
+    from ..gadgets.mimc import mimc_hash
+
+    p = curve.fr.modulus
+    if circuit_name == "mini":
+        if not power_on:
+            return _mini_composer(p, 0, 0, 0), []
+        x, y, z = (int(a) for a in args[:3])
+        return _mini_composer(p, x, y, z), [z]
+    if circuit_name == "hash":
+        if not power_on:
+            return _mimc_composer(curve.fr, b"\x00", 0), []
+        preimage = args[0].encode()
+        image = mimc_hash(curve.fr, preimage)[2]
+        return _mimc_composer(curve.fr, preimage, image), [image]
+    raise SystemExit("plonk CLI supports the mini|hash circuits")
+
+
 def _mini_composer(p: int, x: int, y: int, z: int):
     """PLONK mini circuit: x * (y + 2) = z, z public (composer gates —
     PLONK has its own front-end, like the reference's plonk::Composer)."""
@@ -160,15 +223,13 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
         print(f"wrote {path} and {vk_path}")
         return (path, vk_path)
     if scheme == "plonk":
-        if circuit_name != "mini":
-            raise SystemExit("plonk CLI supports the mini circuit only")
         from ..ops.hdomain import HDomain
         from ..schemes.plonk import Plonk
 
         from ..schemes.plonk import default_ks
         from ..schemes.plonk import serialize as pser
 
-        cs = _mini_composer(curve.fr.modulus, 0, 0, 0)
+        cs, _ = _plonk_composer(curve, circuit_name, [], power_on=False)
         max_degree = 4 * HDomain(curve.fr, cs.size()).size
         srs = Plonk.setup(curve, max_degree, rng)
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
@@ -244,23 +305,19 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
         proof = marlin.create_random_proof(ipk, circuit, rng)
         proof_hex = ark_encode(curve, proof).hex()
     elif scheme == "plonk":
-        if circuit_name != "mini":
-            raise SystemExit("plonk CLI supports the mini circuit only")
         from ..schemes.plonk import Plonk, default_ks
         from ..schemes.plonk import serialize as pser
 
         p = curve.fr.modulus
-        x, y, z = (int(a) for a in args[:3])
         srs = _srs_from_portable(
             curve, struct_codec.decode(
                 curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
             )
         )
-        cs = _mini_composer(p, x, y, z)
+        cs, publics = _plonk_composer(curve, circuit_name, args, power_on=True)
         pk, _vk = Plonk.keygen(curve, srs, cs, default_ks(p))
         proof = Plonk.prove(curve, pk, cs, rng)
         proof_hex = pser.proof_to_bytes(curve, proof).hex()
-        publics = [z]
     else:  # spartan_nizk
         from ..serialize.ark_schemes import ark_encode
 
@@ -364,7 +421,10 @@ def verify_cmd(proof_file: str) -> bool:
             raise SystemExit("plonk proof payload carries no public input")
         # the composer is rebuilt only for the public-input vector layout
         # (O(gates)); the vk itself is the setup artifact
-        cs = _mini_composer(p, 0, 0, publics[0])
+        if payload["circuit"] == "hash":
+            cs = _mimc_composer(curve.fr, b"\x00", publics[0])
+        else:
+            cs = _mini_composer(p, 0, 0, publics[0])
         vk_path = SETUP_DIR / f"{name}.vk"
         if vk_path.exists():
             vk = pser.vk_from_bytes(curve, vk_path.read_bytes())

@@ -77,3 +77,10 @@ def test_cli_spartan_nizk_curve25519_roundtrip(tmp_path, monkeypatch):
 def test_cli_bulletproofs_curve25519_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     _roundtrip("bulletproofs", curve="curve25519")
+
+
+def test_cli_plonk_hash_roundtrip(tmp_path, monkeypatch):
+    """PLONK beyond the mini circuit: the MiMC-preimage hash circuit built
+    from composer gates (VERDICT r2 item 9)."""
+    monkeypatch.chdir(tmp_path)
+    _roundtrip("plonk", circuit="hash", args=["iamsecret"])
