@@ -181,3 +181,19 @@ def test_hs_scan_and_segment_sum():
     for i, s in zip(np.asarray(ids), np.asarray(vals)):
         want[i] += s
     assert np.array_equal(np.asarray(out), want)
+
+
+def test_bucket_counts_matches_reference():
+    """The one-hot matmul histogram must agree with a direct count for both
+    window sizes (8-bit and 16-bit digits)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ckb_zkp_tpu.ops.msm import _bucket_counts
+
+    rng = np.random.default_rng(2)
+    for nb, n in ((256, 5000), (1 << 16, 20000)):
+        d = rng.integers(0, nb, n, dtype=np.uint32)
+        got = np.asarray(_bucket_counts(jnp.asarray(d), nb))
+        want = np.cumsum(np.bincount(d, minlength=nb))
+        assert (got == want).all()
