@@ -289,6 +289,7 @@ def child_main() -> None:
         STATE["extra"]["msm_n"] = npoints
         STATE["extra"]["msm_ms"] = round(msm_s * 1000.0, 3)
         checkpoint()
+        del shape, params, qap, z, z_can  # release the 2^20 prover HBM set
 
     if remaining() > 60:
         set_stage("ntt24")

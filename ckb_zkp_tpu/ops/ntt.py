@@ -18,6 +18,7 @@ All polynomial data is (n, L) uint32 Montgomery limbs over Fr.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -25,6 +26,12 @@ import jax.numpy as jnp
 
 from ..host.field import FieldSpec
 from .field import DeviceField
+
+# Domains at/above this size route through the limb-major four-step path
+# (ops/ntt_large.py): the interleaved ladder's (g, 2, half, L) temporaries
+# lane-pad 8x and OOM HBM at 2^24. Kept high enough (2^23) that every
+# prove/setup-path program below it is untouched (warm-cache safety).
+LARGE_NTT_MIN = int(os.environ.get("CKB_ZKP_TPU_LARGE_NTT_MIN", str(1 << 23)))
 
 
 def _bitrev_indices(n: int) -> np.ndarray:
@@ -51,7 +58,6 @@ class Domain:
         # coset generator: the field's multiplicative generator, as arkworks
         self.coset_g = spec.generator
         self.coset_g_inv = pow(self.coset_g, -1, p)
-        self._bitrev = jnp.asarray(_bitrev_indices(n))
         # big tables (twiddles, bitrev, coset scales) enter as ARGUMENTS:
         # closure-captured device arrays embed as dense literals in the
         # lowered program, and at 2^21 the remote compile request exceeds
@@ -64,10 +70,21 @@ class Domain:
         # base enters as data); building the table with eager doubling ops
         # instead costs ~log2(n) separate compiles on the TPU tunnel
         self._table_builder = jax.jit(self._build_pow_table)
-        # build power tables eagerly (outside any trace) so the lru_cache
-        # never captures tracers
-        for base in (self.omega, self.omega_inv, self.coset_g, self.coset_g_inv):
-            self._pow_table(base)
+        self._bitrev_dev = None
+        self.is_large = n >= LARGE_NTT_MIN
+        self._fourstep = None
+        if not self.is_large:
+            # build power tables eagerly (outside any trace) so the lru_cache
+            # never captures tracers; large domains never touch the n-sized
+            # tables (the four-step path builds its own small ones)
+            for base in (self.omega, self.omega_inv, self.coset_g, self.coset_g_inv):
+                self._pow_table(base)
+
+    @functools.cached_property
+    def _bitrev(self) -> np.ndarray:
+        # numpy, NOT jnp: first access may happen inside a trace (_fft_impl
+        # under shard_map), and caching a traced constant leaks the tracer
+        return _bitrev_indices(self.n)
 
     # ---- twiddle/power tables (device, cached) ----
     def _build_pow_table(self, w_pow: jnp.ndarray) -> jnp.ndarray:
@@ -90,6 +107,12 @@ class Domain:
     def fft(self, x: jnp.ndarray, *, inverse: bool = False, coset: bool = False):
         """NTT over the domain; natural order in and out. Dispatches the
         jitted core with the (device-cached) tables as runtime operands."""
+        if self.is_large:
+            if self._fourstep is None:
+                from .ntt_large import get_fourstep_domain
+
+                self._fourstep = get_fourstep_domain(self.df.spec, self.n)
+            return self._fourstep.fft(x, inverse=inverse, coset=coset)
         table = self._pow_table(self.omega_inv if inverse else self.omega)
         if coset:
             scale = self._pow_table(
@@ -97,8 +120,12 @@ class Domain:
             )
         else:
             scale = self.df.zeros((1,))  # dead operand on non-coset paths
+        if self._bitrev_dev is None:
+            # device-resident copy made OUTSIDE any trace (we are in eager
+            # dispatch here); avoids a per-call host->device transfer
+            self._bitrev_dev = jnp.asarray(self._bitrev)
         return self._fft_jit(
-            x, table, scale, self._bitrev, inverse=inverse, coset=coset
+            x, table, scale, self._bitrev_dev, inverse=inverse, coset=coset
         )
 
     def _fft_impl(self, x, *, inverse: bool = False, coset: bool = False):

@@ -236,6 +236,26 @@ def _mul_fn(L: int, sb: int, p_limbs: tuple, np_limbs: tuple):
     return run
 
 
+def mont_mul_tiles(df, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product directly on limb-major tiles.
+
+    a, b: (L, M, 128) canonical Montgomery limb tiles (equal shapes,
+    M % 8 == 0). Skips the (n, L) <-> tile transposes of `mont_mul` — the
+    entry point for callers that already keep data limb-major (the
+    large-domain NTT, ops/ntt_large.py)."""
+    L = df.L
+    assert a.shape == b.shape and a.shape[0] == L and a.shape[2] == LANES
+    m = a.shape[1]
+    sb = SUBS_BIG if m % SUBS_BIG == 0 else SUBS_SMALL
+    assert m % sb == 0, (m, sb)
+    fn = _mul_fn(
+        L, sb,
+        tuple(int(x) for x in df.p_limbs),
+        tuple(int(x) for x in df.nprime_limbs),
+    )
+    return fn(a, b)
+
+
 def mont_mul(df, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched Montgomery product via the fused TPU kernel.
 

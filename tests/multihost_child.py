@@ -1,0 +1,82 @@
+"""Child process for the 2-process multi-host smoke test (not a pytest file).
+
+Usage: python multihost_child.py <port> <process_id>
+
+Joins a 2-process Gloo-backed JAX job (2 local CPU devices each -> 4 global),
+runs the sharded four-step NTT over the global mesh, and checks THIS
+process's addressable shards against a host-int reference spectrum.
+Prints MH_OK on success.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+from ckb_zkp_tpu.host.pairing import get_curve  # noqa: E402
+from ckb_zkp_tpu.ops.field import device_field  # noqa: E402
+from ckb_zkp_tpu.parallel import ShardedDomain  # noqa: E402
+from ckb_zkp_tpu.parallel.multihost import (  # noqa: E402
+    global_mesh,
+    init_multihost,
+    process_count,
+    shard_put,
+)
+
+
+def main() -> None:
+    port, pid = int(sys.argv[1]), int(sys.argv[2])
+    init_multihost(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert process_count() == 2
+    assert len(jax.devices()) == 4, jax.devices()
+
+    fr = get_curve("bn254").fr
+    p = fr.modulus
+    df = device_field(fr)
+    n = 64
+    mesh = global_mesh()
+    sd = ShardedDomain(fr, n, mesh)
+
+    rng = np.random.default_rng(1234)  # same seed everywhere: same data
+    coeffs = [int(v) % p for v in rng.integers(0, 1 << 63, size=n)]
+    x = shard_put(np.asarray(df.encode(coeffs)), mesh, P(sd.axis, None))
+
+    B = sd.fft_t(x)
+
+    # host-int reference spectrum, transposed layout B[k1, k2] = X[k1+n1*k2]
+    w = fr.root_of_unity(n)
+    X = [
+        sum(c * pow(w, (i * k) % n, p) for i, c in enumerate(coeffs)) % p
+        for k in range(n)
+    ]
+    flat = [X[k1 + sd.n1 * k2] for k1 in range(sd.n1) for k2 in range(sd.n2)]
+    expect = np.asarray(df.encode(flat))
+
+    for shard in B.addressable_shards:
+        got = np.asarray(shard.data)
+        want = expect[shard.index]
+        assert np.array_equal(got, want), f"shard mismatch on proc {pid}"
+
+    # inverse roundtrip, checked shard-wise as well
+    back = sd.ifft_from_t(B)
+    expect_back = np.asarray(df.encode(coeffs))
+    for shard in back.addressable_shards:
+        assert np.array_equal(np.asarray(shard.data), expect_back[shard.index])
+
+    print("MH_OK", pid, flush=True)
+
+
+main()
