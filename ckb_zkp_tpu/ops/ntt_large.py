@@ -210,6 +210,11 @@ class FourStepDomain:
 
     def _grid(self, inverse: bool) -> jnp.ndarray:
         if inverse not in self._grids:
+            if self.n >= 1 << 24:
+                # at 2^24 each grid is ~1 GB of HBM and holding both
+                # directions plus the transform working set exhausts the
+                # chip: keep only the most recent direction (rebuild ~1 s)
+                self._grids.clear()
             base = self.omega_inv if inverse else self.omega
             row = jnp.asarray(
                 _host_mont_powers(self.spec, base, self.n2, self.df.L)
