@@ -66,6 +66,34 @@ SCHEMES = (
 # ---- universal-SRS persistence (marlin/plonk KZG powers live on device;
 # artifacts store host affine points and re-encode on load) ----
 
+def _srs_spec():
+    """ark spec of the portable SRS tuple (KZG10 UniversalParams layout:
+    reference cli setup files are CanonicalSerialize bytes, setup.rs:89-130)."""
+    from ..serialize.ark_schemes import G1, G2, Tup, Vec
+
+    return Tup(Vec(G1), Vec(G1), G1, G1, G2, G2)
+
+
+def _nizk_setup_spec():
+    from ..serialize.ark_schemes import S, Tup
+    from ..schemes.spartan.common import NizkParameters
+    from ..schemes.spartan.nizk import R1CSInstance
+
+    return Tup(S(NizkParameters), S(R1CSInstance))
+
+
+def _read_artifact(curve, path: Path, cls_or_spec):
+    """Load a setup artifact: ark-0.2 bytes (current format), falling back
+    to the legacy framework struct codec for round-3 artifacts."""
+    from ..serialize.ark_schemes import ark_decode
+
+    data = path.read_bytes()
+    try:
+        return ark_decode(curve, data, cls_or_spec)
+    except Exception:
+        return struct_codec.decode(curve, data)
+
+
 def _srs_to_portable(srs):
     from ..ops.msm import device_group
 
@@ -190,18 +218,24 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
         print(f"wrote {pk_path} and {vk_path}")
         return pk_path, vk_path
     if scheme == "spartan_snark":
+        from ..serialize.ark_schemes import ark_encode
+
         setup = spartan_snark.generate_random_parameters(curve, circuit, rng)
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
-        path.write_bytes(struct_codec.encode(curve, setup))
+        # snark::Parameters CanonicalSerialize bytes (cli/src/setup.rs:47-58)
+        path.write_bytes(ark_encode(curve, setup))
         print(f"wrote {path}")
         return (path,)
     if scheme == "spartan_nizk":
+        from ..serialize.ark_schemes import ark_encode
+
         r1cs = spartan_nizk.generate_r1cs(curve, circuit)
         params = spartan_nizk.generate_setup_parameters(
             curve, rng, r1cs.num_aux, r1cs.num_inputs
         )
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
-        path.write_bytes(struct_codec.encode(curve, (params, r1cs)))
+        # nizk::Parameters CanonicalSerialize bytes (cli/src/setup.rs:60-72)
+        path.write_bytes(ark_encode(curve, (params, r1cs), _nizk_setup_spec()))
         print(f"wrote {path}")
         return (path,)
     if scheme == "marlin":
@@ -212,16 +246,25 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
         probe = marlin_ahp.index(curve.fr, circuit)
         srs = marlin.universal_setup(curve, probe.max_degree(), rng)
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
-        path.write_bytes(struct_codec.encode(curve, _srs_to_portable(srs)))
+        path.write_bytes(ark_encode(curve, _srs_to_portable(srs), _srs_spec()))
         # index once at setup and persist the ark-encoded ivk so verify
         # needs neither the SRS nor an O(n) re-index (zkp_verify.rs parity:
         # the reference verifier consumes only the vk artifact)
         circuit2, _ = _circuit(circuit_name, curve, [], power_on=False)
-        _ipk, ivk = marlin.index(srs, circuit2)
+        ipk, ivk = marlin.index(srs, circuit2)
         vk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.vk"
         vk_path.write_bytes(ark_encode(curve, ivk))
-        print(f"wrote {path} and {vk_path}")
-        return (path, vk_path)
+        # persist the index once so prove skips the O(n) re-index + index
+        # commitments; the committer key is rebuilt from the SRS by trim()
+        ipk_path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.ipk"
+        ipk_path.write_bytes(
+            struct_codec.encode(
+                curve,
+                (ipk.index, ipk.index_rands, ipk.committer_key.supported_degree),
+            )
+        )
+        print(f"wrote {path}, {vk_path} and {ipk_path}")
+        return (path, vk_path, ipk_path)
     if scheme == "plonk":
         from ..ops.hdomain import HDomain
         from ..schemes.plonk import Plonk
@@ -229,11 +272,13 @@ def setup_cmd(scheme: str, curve_name: str, circuit_name: str, seed: int | None 
         from ..schemes.plonk import default_ks
         from ..schemes.plonk import serialize as pser
 
+        from ..serialize.ark_schemes import ark_encode
+
         cs, _ = _plonk_composer(curve, circuit_name, [], power_on=False)
         max_degree = 4 * HDomain(curve.fr, cs.size()).size
         srs = Plonk.setup(curve, max_degree, rng)
         path = SETUP_DIR / f"{scheme}-{curve.name}-{circuit_name}.universal_setup"
-        path.write_bytes(struct_codec.encode(curve, _srs_to_portable(srs)))
+        path.write_bytes(ark_encode(curve, _srs_to_portable(srs), _srs_spec()))
         # keygen once at setup (vk depends only on the circuit structure)
         # and persist the ark-encoded vk for verify
         _pk, vk = Plonk.keygen(curve, srs, cs, default_ks(curve.fr.modulus))
@@ -278,7 +323,9 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
     elif scheme == "spartan_snark":
         from ..serialize.ark_schemes import ark_encode
 
-        setup = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes())
+        setup = _read_artifact(
+            curve, SETUP_DIR / f"{name}.universal_setup", spartan_snark.SnarkSetup
+        )
         hashes = (
             setup.r1cs.r1cs_to_hash(),
             spartan_snark.snark_params_to_hash(curve, setup.params),
@@ -293,15 +340,31 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
         proof_hex = ark_encode(curve, proof).hex()
     elif scheme == "marlin":
         from ..schemes import marlin
-        from ..serialize.ark_schemes import ark_encode
+        from ..schemes.marlin import pc as marlin_pc
+        from ..serialize.ark_schemes import ark_decode, ark_encode
 
         srs = _srs_from_portable(
-            curve, struct_codec.decode(
-                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+            curve, _read_artifact(
+                curve, SETUP_DIR / f"{name}.universal_setup", _srs_spec()
             )
         )
-        circuit_off, _ = _circuit(circuit_name, curve, [], power_on=False)
-        ipk, _ivk = marlin.index(srs, circuit_off)
+        ipk_path = SETUP_DIR / f"{name}.ipk"
+        vk_path = SETUP_DIR / f"{name}.vk"
+        if ipk_path.exists() and vk_path.exists():
+            # fast path: the setup-persisted index + ivk; only the committer
+            # key (SRS power slices) is rebuilt, in O(1) device slicing
+            index, index_rands, supported_degree = struct_codec.decode(
+                curve, ipk_path.read_bytes()
+            )
+            ivk = ark_decode(curve, vk_path.read_bytes(), marlin.IndexVerifierKey)
+            ck, _vk = marlin_pc.trim(srs, supported_degree)
+            ipk = marlin.IndexProverKey(
+                index=index, index_rands=index_rands,
+                index_verifier_key=ivk, committer_key=ck,
+            )
+        else:  # legacy artifacts: O(n) re-index
+            circuit_off, _ = _circuit(circuit_name, curve, [], power_on=False)
+            ipk, _ivk = marlin.index(srs, circuit_off)
         proof = marlin.create_random_proof(ipk, circuit, rng)
         proof_hex = ark_encode(curve, proof).hex()
     elif scheme == "plonk":
@@ -310,8 +373,8 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
 
         p = curve.fr.modulus
         srs = _srs_from_portable(
-            curve, struct_codec.decode(
-                curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+            curve, _read_artifact(
+                curve, SETUP_DIR / f"{name}.universal_setup", _srs_spec()
             )
         )
         cs, publics = _plonk_composer(curve, circuit_name, args, power_on=True)
@@ -321,7 +384,8 @@ def prove_cmd(scheme: str, curve_name: str, circuit_name: str, args: list[str], 
     else:  # spartan_nizk
         from ..serialize.ark_schemes import ark_encode
 
-        params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+        params, r1cs = _read_artifact(
+            curve, SETUP_DIR / f"{name}.universal_setup", _nizk_setup_spec()
         )
         hashes = (r1cs.r1cs_to_hash(), spartan_nizk.params_to_hash(curve, params))
         proof = spartan_nizk.create_nizk_proof(
@@ -375,7 +439,9 @@ def verify_cmd(proof_file: str) -> bool:
     elif scheme == "spartan_snark":
         from ..serialize.ark_schemes import ark_decode
 
-        setup = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes())
+        setup = _read_artifact(
+            curve, SETUP_DIR / f"{name}.universal_setup", spartan_snark.SnarkSetup
+        )
         proof = ark_decode(
             curve, bytes.fromhex(payload["proof"]), spartan_snark.SNARKProof
         )
@@ -400,8 +466,8 @@ def verify_cmd(proof_file: str) -> bool:
             )
         else:  # legacy artifacts: derive the ivk from the universal SRS
             srs = _srs_from_portable(
-                curve, struct_codec.decode(
-                    curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+                curve, _read_artifact(
+                    curve, SETUP_DIR / f"{name}.universal_setup", _srs_spec()
                 )
             )
             circuit_off, _ = _circuit(
@@ -430,8 +496,8 @@ def verify_cmd(proof_file: str) -> bool:
             vk = pser.vk_from_bytes(curve, vk_path.read_bytes())
         else:  # legacy artifacts: keygen from the universal SRS
             srs = _srs_from_portable(
-                curve, struct_codec.decode(
-                    curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+                curve, _read_artifact(
+                    curve, SETUP_DIR / f"{name}.universal_setup", _srs_spec()
                 )
             )
             _pk, vk = Plonk.keygen(curve, srs, cs, default_ks(p))
@@ -440,7 +506,8 @@ def verify_cmd(proof_file: str) -> bool:
     else:  # spartan_nizk
         from ..serialize.ark_schemes import ark_decode
 
-        params, r1cs = struct_codec.decode(curve, (SETUP_DIR / f"{name}.universal_setup").read_bytes()
+        params, r1cs = _read_artifact(
+            curve, SETUP_DIR / f"{name}.universal_setup", _nizk_setup_spec()
         )
         proof = ark_decode(
             curve, bytes.fromhex(payload["proof"]), spartan_nizk.NIZKProof

@@ -28,7 +28,6 @@ from __future__ import annotations
 from .host.pairing import get_curve
 from .schemes import groth16
 from .schemes.groth16 import serialize as g16ser
-from .serialize import struct_codec
 from .serialize.ark_schemes import FR, S, Tup, Vec, ark_decode
 
 # error codes mirror the contracts' i8 Error enums (entry.rs / error.rs)
@@ -82,11 +81,6 @@ def universal_groth16_verifier(
         return ERR_ENCODING
     pvk = groth16.prepare_verifying_key(curve, vk)
     return OK if groth16.verify_proof(curve, pvk, proof, publics) else ERR_VERIFY
-
-
-def _decode_cells(curve, *cells):
-    # decode self-registers dataclasses by qualified name (package-restricted)
-    return [struct_codec.decode(curve, c) for c in cells]
 
 
 def universal_marlin_verifier(

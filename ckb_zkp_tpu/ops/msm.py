@@ -670,23 +670,31 @@ class DeviceCurveGroup:
         ident_q = rg.identity((nb,))
         packed = _rcb_kernel_ok(rg, n)
         if packed:
-            # pack two 16-bit limbs per u32 word ONCE: per-window gathers
-            # and leaf-tile transposes then move half the bytes
-            from .pallas_rcb import pack_limbs, rcb_scan_prefix_madd_packed
+            # pack two 16-bit limbs per u32 word ONCE (flag in bit 31 of the
+            # top X word): per window, ONE lax.sort carries every coord
+            # column to sorted order — the TPU sort beats an XLA row gather
+            # ~4x at 2^21 (measured, scripts/probe_gather.py)
+            from .pallas_rcb import pack_limbs_flag, rcb_scan_prefix_madd_cols
 
-            Xp = pack_limbs(rg, X)
-            Yp = pack_limbs(rg, Y)
+            Xp, Yp = pack_limbs_flag(rg, X, Y, inf)
+            rp = Xp.shape[1]
+            xy_cols = [Xp[:, i] for i in range(rp)] + [
+                Yp[:, i] for i in range(rp)
+            ]
 
         def window(w):
             bitpos = w * c
             limb = jnp.take(scalars, bitpos // BASE_BITS, axis=1)
             digits = (limb >> (bitpos % BASE_BITS)) & jnp.uint32(nb - 1)
-            order = jnp.argsort(digits)
             if packed:
-                w_get, T = rcb_scan_prefix_madd_packed(
-                    rg, (Xp[order], Yp[order], inf[order]), _RCB_B
+                srt = jax.lax.sort(
+                    [digits] + xy_cols, num_keys=1, is_stable=False
+                )
+                w_get, T = rcb_scan_prefix_madd_cols(
+                    rg, srt[1 : 1 + rp], srt[1 + rp :], _RCB_B
                 )
             else:
+                order = jnp.argsort(digits)
                 leaves = (X[order], Y[order], inf[order])
                 w_get, T = _scan_prefix_madd(rg, leaves, _RCB_B)
             pfull = _full_prefix(rg, T, _RCB_B)
@@ -1006,8 +1014,15 @@ FIXED_BASE_MSM_MIN = 1 << 10
 _fixed_base_cache: dict[int, tuple[object, object]] = {}
 
 
-def msm_over_fixed_base(curve, base_points: list, scalars: list[int]) -> AffinePoint:
-    """MSM of scalars over a prefix of a long-lived generator list."""
+def msm_over_fixed_base(
+    curve, base_points: list, scalars: list[int], cache: bool = True
+) -> AffinePoint:
+    """MSM of scalars over a prefix of a generator list.
+
+    With cache=True (default) the device encoding is memoized per list —
+    for long-lived generator lists (Pedersen commit bases). Pass cache=False
+    for one-shot lists (e.g. the bulletproofs IPA round slices,
+    inner_product_proof.rs:22-174) so device encodings are not retained."""
     host = curve.g1
     if len(scalars) < FIXED_BASE_MSM_MIN:
         return host.msm(base_points[: len(scalars)], scalars)
@@ -1017,11 +1032,15 @@ def msm_over_fixed_base(curve, base_points: list, scalars: list[int]) -> AffineP
         dg = device_ristretto_group()
     else:
         dg = device_group(curve, "g1")
-    key = id(base_points)
-    ent = _fixed_base_cache.get(key)
-    if ent is None or ent[0] is not base_points:
+    if cache:
+        key = id(base_points)
+        ent = _fixed_base_cache.get(key)
+        if ent is None or ent[0] is not base_points:
+            enc = dg.encode_points(base_points)
+            _fixed_base_cache[key] = (base_points, enc)
+            ent = _fixed_base_cache[key]
+        enc = ent[1]
+    else:
         enc = dg.encode_points(base_points)
-        _fixed_base_cache[key] = (base_points, enc)
-        ent = _fixed_base_cache[key]
-    P = jax.tree.map(lambda c: c[: len(scalars)], ent[1])
+    P = jax.tree.map(lambda c: c[: len(scalars)], enc)
     return dg.decode_point(dg.msm(P, dg.encode_scalars(scalars)))

@@ -35,6 +35,7 @@ large-domain specialization — this decomposition is TPU layout engineering.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -208,12 +209,18 @@ class FourStepDomain:
             sq = mul0(df, sq, sq)
         return T
 
+    # retain both direction grids only while their total HBM footprint stays
+    # under this cap (2^24 grids are ~1 GB each and holding both plus the
+    # transform working set exhausts the chip; alternating ntt/intt above the
+    # cap rebuilds the grid each call, ~1 s at 2^24)
+    _GRID_CACHE_BYTES = int(
+        os.environ.get("CKB_ZKP_TPU_NTT_GRID_CACHE_BYTES", str(1 << 30))
+    )
+
     def _grid(self, inverse: bool) -> jnp.ndarray:
         if inverse not in self._grids:
-            if self.n >= 1 << 24:
-                # at 2^24 each grid is ~1 GB of HBM and holding both
-                # directions plus the transform working set exhausts the
-                # chip: keep only the most recent direction (rebuild ~1 s)
+            grid_bytes = self.df.L * self.n1 * self.n2 * 4
+            if grid_bytes * (len(self._grids) + 1) > self._GRID_CACHE_BYTES:
                 self._grids.clear()
             base = self.omega_inv if inverse else self.omega
             row = jnp.asarray(

@@ -180,6 +180,115 @@ def _mont_reduce_cols(t_can, p_limbs, np_limbs):
     return _cond_sub_p(s_can[L:], p_limbs)
 
 
+# ---------------------------------------------------- MXU Montgomery reduce
+# The two reduction convolutions have a SHARED (constant) operand — n' for
+# m = (t mod R)*n' mod R and p for m*p — so they ride the MXU as int8
+# byte-plane band-matrix matmuls while the VPU keeps only the a*b schoolbook
+# product and the carry ripples. Exactness: byte products are < 2^16, column
+# sums over K = 2L byte planes * SB sublanes stay far below 2^31 in the int32
+# accumulator; the +-128 shifts (int8 range) are undone with closed-form
+# correction terms. Bit-identical to _mont_reduce_cols by construction
+# (same integer column sums, same ripples).
+
+
+def mxu_band_consts(p_limbs, np_limbs, sb: int):
+    """(M1, M2) int8 band matrices for _mont_reduce_cols_mxu at sublane
+    block sb. M1: (2L*sb, 2L*sb) for t_bytes -> (t*n' mod R) byte columns;
+    M2: (4L*sb, 2L*sb) for m_bytes -> m*p byte columns. Entries are the
+    constant's bytes minus 128; kron with I_sb keeps per-sublane elements
+    independent while the (limb, sublane) axes merge into one MXU dim."""
+    import numpy as np
+
+    L = len(p_limbs)
+
+    def to_bytes(limbs):
+        out = []
+        for v in limbs:
+            out.append(int(v) & 0xFF)
+            out.append((int(v) >> 8) & 0xFF)
+        return out
+
+    nb = to_bytes(np_limbs)  # 2L bytes
+    pb = to_bytes(p_limbs)
+    K = 2 * L
+    M1 = np.zeros((K, K), np.int32)
+    for c in range(K):
+        for i in range(K):
+            if 0 <= c - i < K:
+                M1[c, i] = nb[c - i]
+    M2 = np.zeros((2 * K, K), np.int32)
+    for c in range(2 * K):
+        for i in range(K):
+            if 0 <= c - i < K:
+                M2[c, i] = pb[c - i]
+    rs1 = tuple(int(x) for x in M1.sum(axis=1))
+    rs2 = tuple(int(x) for x in M2.sum(axis=1))
+    eye = np.eye(sb, dtype=np.int32)
+    M1b = (np.kron(M1, eye) - 128).astype(np.int8)
+    M2b = (np.kron(M2, eye) - 128).astype(np.int8)
+    return M1b, M2b, rs1, rs2
+
+
+def _band_matmul(mband, byte_rows, rs, out_cols: int):
+    """byte_rows: list of K int32 tiles (sb, 128) with values in [0, 255] ->
+    exact conv columns out[c] = sum_i byte_rows[i] * const_bytes[c - i],
+    via one int8 MXU matmul plus the +-128 shift corrections."""
+    K = len(byte_rows)
+    sb = byte_rows[0].shape[0]
+    lanes = byte_rows[0].shape[1]
+    T = jnp.stack(byte_rows, axis=0)  # (K, sb, lanes) int32
+    sum_t = jnp.sum(T, axis=(0, 1))  # (lanes,) per-lane byte total
+    t8 = (T - 128).astype(jnp.int8).reshape(K * sb, lanes)
+    prod = jax.lax.dot_general(
+        mband, t8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).reshape(out_cols, sb, lanes)
+    base = 128 * sum_t[None, :] - 128 * 128 * (K * sb)
+    return [prod[c] + (base + 128 * rs[c]) for c in range(out_cols)]
+
+
+def _mont_reduce_cols_mxu(t_can, p_limbs, np_limbs, m1, m2, rs1, rs2):
+    """_mont_reduce_cols with the two constant-operand convolutions on the
+    MXU. m1/m2 are the mxu_band_consts matrices (passed as kernel inputs —
+    Pallas forbids captured array constants); rs1/rs2 are static row sums."""
+    L = len(p_limbs)
+    K = 2 * L
+    # byte planes of t mod R
+    tb = []
+    for k in range(L):
+        t32 = t_can[k].astype(jnp.int32)
+        tb.append(t32 & 0xFF)
+        tb.append(t32 >> 8)
+    q = _band_matmul(m1, tb, rs1, K)  # byte cols of (t mod R) * n'
+    # carry-propagate to the exact bytes of m = (t*n') mod R
+    m_bytes = []
+    carry = None
+    for c in range(K):
+        cur = q[c] if carry is None else q[c] + carry
+        m_bytes.append(cur & 0xFF)
+        carry = cur >> 8
+    u = _band_matmul(m2, m_bytes, rs2, 2 * K)  # byte cols of m * p
+    # regroup byte cols to 16-bit cols, add t, ripple, reduce
+    s_cols = [
+        t_can[k]
+        + u[2 * k].astype(jnp.uint32)
+        + (u[2 * k + 1].astype(jnp.uint32) << 8)
+        for k in range(K)
+    ]
+    s_can, _ = _ripple(s_cols)
+    return _cond_sub_p(s_can[L:], p_limbs)
+
+
+def _mont_mul_rows_mxu(a, b, p_limbs, np_limbs, m1, m2, rs1, rs2):
+    """_mont_mul_rows with the MXU reduction (bit-identical outputs)."""
+    t_can, _ = _ripple(_conv_lazy(a, b, 2 * len(a)))
+    return _mont_reduce_cols_mxu(t_can, p_limbs, np_limbs, m1, m2, rs1, rs2)
+
+
+def _mont_sqr_rows_mxu(a, p_limbs, np_limbs, m1, m2, rs1, rs2):
+    t_can, _ = _ripple(_sqr_conv_lazy(a, 2 * len(a)))
+    return _mont_reduce_cols_mxu(t_can, p_limbs, np_limbs, m1, m2, rs1, rs2)
+
+
 def _mont_mul_rows(a, b, p_limbs, np_limbs):
     """Limb-tile lists (length L) -> Montgomery product, canonical."""
     t_can, _ = _ripple(_conv_lazy(a, b, 2 * len(a)))

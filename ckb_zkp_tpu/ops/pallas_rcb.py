@@ -186,6 +186,33 @@ def _scan_prefix_madd_packed_kernel(F, B, xr, yr, fr_, wx, wy, wz, tx, ty, tz):
     tz[:] = jnp.stack(Z, axis=0)
 
 
+def _scan_prefix_madd_packedf_kernel(F, B, xr, yr, wx, wy, wz, tx, ty, tz):
+    """Packed variant with the infinity flag in BIT 31 of the top packed X
+    word (top limb < 2^15 for the supported curves, asserted by the packer):
+    drops the separate flag array so the sorted-permutation path carries one
+    less column through lax.sort."""
+    R = F.ext * F.L
+    Rp = R // 2
+
+    def body(b, acc):
+        xb, yb = xr[b], yr[b]
+        flag = xb[Rp - 1] >> 31
+        x_rows = _unpack_limb_rows(_rows(xb, Rp))
+        x_rows[-1] = x_rows[-1] & jnp.uint32(0x7FFF)
+        y_rows = _unpack_limb_rows(_rows(yb, Rp))
+        nxt = _rcb_madd_core(F, acc, (x_rows, y_rows), flag != 0)
+        wx[b] = jnp.stack(nxt[0], axis=0)
+        wy[b] = jnp.stack(nxt[1], axis=0)
+        wz[b] = jnp.stack(nxt[2], axis=0)
+        return nxt
+
+    tile = xr[0, 0]
+    X, Y, Z = jax.lax.fori_loop(0, B, body, F.identity_rows(tile))
+    tx[:] = jnp.stack(X, axis=0)
+    ty[:] = jnp.stack(Y, axis=0)
+    tz[:] = jnp.stack(Z, axis=0)
+
+
 def _scan_prefix_madd_kernel(F, B, xr, yr, fr_, wx, wy, wz, tx, ty, tz):
     """xr/yr: (B, R, SB, 128) sorted affine leaves, fr_: (B, SB, 128) flags.
     W out: (B, R, SB, 128) x3 inclusive prefixes; T out: (R, SB, 128) x3."""
@@ -346,12 +373,13 @@ def _scan_fn(kind, ext, B, sb, p_limbs, np_limbs, b3_small, b3_limbs):
     kerns = {
         "prefix_madd": _scan_prefix_madd_kernel,
         "prefix_madd_packed": _scan_prefix_madd_packed_kernel,
+        "prefix_madd_packedf": _scan_prefix_madd_packedf_kernel,
         "prefix_add": _scan_prefix_add_kernel,
         "total_add": _scan_total_add_kernel,
     }
     kern = functools.partial(kerns[kind], F, B)
     with_w = kind != "total_add"
-    r_in = R // 2 if kind == "prefix_madd_packed" else R
+    r_in = R // 2 if kind.startswith("prefix_madd_packed") else R
 
     @jax.jit
     def run(*ins):  # (B, R, G/128, 128) coords (+ (B, G/128, 128) flags)
@@ -359,7 +387,9 @@ def _scan_fn(kind, ext, B, sb, p_limbs, np_limbs, b3_small, b3_limbs):
         tshp = jax.ShapeDtypeStruct((R, g128, LANES), jnp.uint32)
         wshp = jax.ShapeDtypeStruct((B, R, g128, LANES), jnp.uint32)
         in_specs = [_bspec(B, r_in, sb)] * 2
-        if kind.startswith("prefix_madd"):
+        if kind == "prefix_madd_packedf":
+            pass  # flag rides bit 31 of the top packed X word
+        elif kind.startswith("prefix_madd"):
             in_specs += [_fspec(B, sb)]
         else:
             in_specs += [_bspec(B, R, sb)]
@@ -512,6 +542,53 @@ def rcb_scan_prefix_madd_packed(rg, leaves_packed, B):
         "prefix_madd_packed", _ext_of(cf), B, SUBS, *_limbs_of(cf), *_b3_key(rg)
     )
     wx, wy, wz, tx, ty, tz = fn(xb, yb, fb)
+
+    def w_get(q):
+        g, b = q // B, q % B
+        out = []
+        for w in (wx, wy, wz):
+            w3 = w.reshape(B, R, G)
+            out.append(_unflatten(cf, w3[b, :, g].reshape(q.shape[0], R)))
+        return tuple(out)
+
+    return w_get, _t_to_standard(cf, (tx, ty, tz), G)
+
+
+def pack_limbs_flag(rg, X, Y, inf):
+    """(Xp, Yp) packed coord arrays with the inf flag in bit 31 of Xp's top
+    word. Requires top-limb headroom (p < 2^(16L-1)): true of BN254 (2^254)
+    and BLS12-381 (2^381) — asserted against the field modulus."""
+    cf = rg.cf
+    df = getattr(cf, "df", cf)
+    assert df.spec.modulus >> (16 * df.L - 1) == 0, "no flag headroom"
+    Xp = pack_limbs(rg, X)
+    Yp = pack_limbs(rg, Y)
+    rp = Xp.shape[1]
+    top = Xp[:, rp - 1] | (inf.astype(jnp.uint32) << 31)
+    Xp = jnp.concatenate([Xp[:, : rp - 1], top[:, None]], axis=1)
+    return Xp, Yp
+
+
+def _col_to_scan_tiles(col, G, B):
+    """(N,) sorted column, element n = g*B + b -> (B, G/128, 128)."""
+    return col.reshape(G, B).T.reshape(B, G // LANES, LANES)
+
+
+def rcb_scan_prefix_madd_cols(rg, xcols, ycols, B):
+    """rcb_scan_prefix_madd over SORTED per-word columns (lax.sort output:
+    the permutation is applied by the sort itself, which beats an XLA row
+    gather ~4x at 2^21 — measured, probe_gather). xcols carry the flag bit
+    (pack_limbs_flag); N = G*B with G % 1024 == 0."""
+    cf = rg.cf
+    R = _ext_of(cf) * cf.L
+    N = xcols[0].shape[0]
+    G = N // B
+    xb = jnp.stack([_col_to_scan_tiles(c, G, B) for c in xcols], axis=1)
+    yb = jnp.stack([_col_to_scan_tiles(c, G, B) for c in ycols], axis=1)
+    fn = _scan_fn(
+        "prefix_madd_packedf", _ext_of(cf), B, SUBS, *_limbs_of(cf), *_b3_key(rg)
+    )
+    wx, wy, wz, tx, ty, tz = fn(xb, yb)
 
     def w_get(q):
         g, b = q // B, q % B

@@ -258,7 +258,7 @@ def prove(curve, gens, r1cs, aL, aR, aO, s_pub, w, rng):
     ux = g1.mul(gens.u, x_1)
 
     IPP_P = g1.add(
-        g1.add(g1.msm(gens.g_vec_N, l_x), g1.msm(gens.h_vec_N, r_x)),
+        g1.add(_msm_fb(curve, gens.g_vec_N, l_x), _msm_fb(curve, gens.h_vec_N, r_x)),
         g1.mul(ux, t_x),
     )
     IPP = inner_product_proof.prove(

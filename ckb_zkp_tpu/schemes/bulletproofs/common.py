@@ -1,8 +1,9 @@
 """Shared helpers: vector algebra, transcript byte encodings, VecPoly5.
 
 Parity: /root/reference/bulletproofs/src/lib.rs:37-317. Vector math is over
-host ints (protocol-layer sizes); commitments/MSMs route through the curve
-groups (device MSM for large n is a perf TODO tracked for the next round).
+host ints (protocol-layer sizes); generator MSMs (A_I/A_O/S, the IPP_P
+commitment and the IPA round L/R points) route through the device Pippenger
+above the size threshold (ops/msm.msm_over_fixed_base).
 """
 
 from __future__ import annotations

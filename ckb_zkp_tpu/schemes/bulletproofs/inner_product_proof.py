@@ -61,8 +61,22 @@ def prove(
         hL, hR = h_vec[:n], h_vec[n:]
         cL = inner_product(aL, bR, p)
         cR = inner_product(aR, bL, p)
-        L = g1.add(g1.add(g1.msm(gR, aL), g1.msm(hL, bR)), g1.mul(u, cL))
-        R = g1.add(g1.add(g1.msm(gL, aR), g1.msm(hR, bL)), g1.mul(u, cR))
+        # device Pippenger above the size threshold; cache=False because the
+        # half-slices are one-shot lists (inner_product_proof.rs:22-174)
+        from ...ops.msm import msm_over_fixed_base as _msm
+
+        L = g1.add(
+            g1.add(
+                _msm(curve, gR, aL, cache=False), _msm(curve, hL, bR, cache=False)
+            ),
+            g1.mul(u, cL),
+        )
+        R = g1.add(
+            g1.add(
+                _msm(curve, gL, aR, cache=False), _msm(curve, hR, bL, cache=False)
+            ),
+            g1.mul(u, cR),
+        )
         L_vec.append(L)
         R_vec.append(R)
         transcript.append_message(b"L", point_bytes(curve, L))

@@ -306,6 +306,38 @@ def _schemas():
             ("mem_commit", Vec(PT)),
         ],
     )
+    # ---- spartan setup artifacts: the CLI universal_setup files are the
+    # CanonicalSerialize bytes of snark::Parameters / nizk::Parameters
+    # (reference cli/src/setup.rs:47-72, lib.rs:43-48,151-154,
+    # data_structure.rs:118-165) ----
+    add(
+        sp_sn.AddrTimestamps,
+        [
+            ("addr_index", Vec(Vec(U64))),
+            ("addrs", Vec(Vec(FR))),
+            ("read_ts_list", Vec(Vec(FR))),
+            ("audit_ts", Vec(FR)),
+        ],
+    )
+    add(
+        sp_sn.EncodeMemory,
+        [
+            ("row_addr_ts", S(sp_sn.AddrTimestamps)),
+            ("col_addr_ts", S(sp_sn.AddrTimestamps)),
+            ("val_list", Vec(Vec(FR))),
+            ("ops_list", Vec(FR)),
+            ("mem_list", Vec(FR)),
+        ],
+    )
+    add(
+        sp_sn.SnarkSetup,
+        [
+            ("params", S(sp_sn.SnarkParameters)),
+            ("r1cs", S(sp.R1CSInstance)),
+            ("encode", S(sp_sn.EncodeMemory)),
+            ("encode_commit", S(sp_sn.EncodeCommit)),
+        ],
+    )
 
     # ---- spartan (spartan/src/data_structure.rs:168-339) ----
     add(sp_common.InnerProductProof, [("l_vec", Vec(PT)), ("r_vec", Vec(PT))])

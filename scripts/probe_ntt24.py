@@ -4,10 +4,11 @@ Checks: domain creation (no eager n-sized tables), grid build, fft compile
 (the old path OOM'd HBM at compile), warm timing, and two value spot-checks
 against host integer math (NTT of a constant, NTT of e_1).
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

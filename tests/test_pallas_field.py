@@ -237,3 +237,61 @@ def test_ec_madd_kernel_g2_matches_xla():
         np.asarray(jax.device_get(o.arr)).T.reshape(n, 2, fq.L) for o in outs
     ]
     assert all(np.array_equal(a, b) for a, b in zip(want, got))
+
+
+# ---- interpret-mode run of the tile entry point itself (ADVICE r3) ----
+# mont_mul_tiles is the limb-major entry the four-step NTT consumes on TPU;
+# the math helpers are covered above, but the pallas_call tile plumbing only
+# executes via interpret mode on CPU (slow: gated like test_pallas_rcb).
+import os
+import subprocess
+import sys
+
+_TILE_SCRIPT = r"""
+import os
+os.environ["CKB_ZKP_TPU_PALLAS_INTERPRET"] = "1"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+
+from ckb_zkp_tpu.host.pairing import get_curve
+from ckb_zkp_tpu.ops.field import device_field
+from ckb_zkp_tpu.ops.pallas_field import from_tiles, mont_mul_tiles, to_tiles
+
+curve = get_curve("bn254")
+df = device_field(curve.fq)
+rng = np.random.default_rng(7)
+n = 1024  # one (L, 8, 128) tile block
+xs = [int.from_bytes(rng.bytes(40), "little") % df.spec.modulus for _ in range(n)]
+ys = [int.from_bytes(rng.bytes(40), "little") % df.spec.modulus for _ in range(n)]
+xs[0] = 0
+ys[1] = df.spec.modulus - 1
+A, B = df.encode(xs), df.encode(ys)
+got = from_tiles(mont_mul_tiles(df, to_tiles(A, df.L), to_tiles(B, df.L)), df.L)
+want = df.mul(A, B)  # XLA path (use_pallas is False on CPU)
+assert np.array_equal(np.asarray(jax.device_get(got)), np.asarray(jax.device_get(want)))
+print("TILES OK")
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("CKB_ZKP_TPU_RUN_INTERPRET_TESTS", "") in ("", "0"),
+    reason="interpret-mode Pallas on CPU is slow; run with "
+    "CKB_ZKP_TPU_RUN_INTERPRET_TESTS=1",
+)
+def test_mont_mul_tiles_interpret_matches_device_field():
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", "")
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env["PYTHONPATH"]
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", _TILE_SCRIPT],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "TILES OK" in res.stdout
