@@ -207,6 +207,54 @@ def _full_prefix(rg, pts, B: int):
     return _wide_add(rg, rep, W)
 
 
+def _boundary_before(rg, T, j, ident_q):
+    """Inclusive prefix of the (G,) totals T at per-query indices j (j may
+    be -1 -> identity), WITHOUT materializing the full prefix array.
+
+    prefix(T, j) = W0[j] + prefix(T1, j//B - 1) recursively, where each
+    W-emitting scan launch yields the within-block prefixes W_l and the
+    next level's block totals; the top level (<= 128 points) finishes as an
+    XLA log-depth prefix. Replaces _full_prefix + row gather in the MSM
+    window tail: ~5 kernel launches instead of the recursive materialize
+    (repeat + G-wide adds at every level) — the tail was launch-overhead
+    bound (~0.44 ms/launch), not EC-math bound."""
+    from .pallas_rcb import rcb_scan_prefix_add
+
+    B = _RCB_B
+    align = _rcb_align(rg)
+    levels = []
+    pts = T
+    n = jax.tree.leaves(pts)[0].shape[0]
+    while n > 128 and _kernel_capable(rg):
+        npad = -(-n // align) * align
+        padded = _pad_leading(pts, npad, rg.identity(()))
+        W, Tn = rcb_scan_prefix_add(rg, padded, B)
+        g_real = -(-n // B)
+        levels.append((jax.tree.map(lambda c: c[:n], W), n))
+        pts = jax.tree.map(lambda c: c[:g_real], Tn)
+        n = g_real
+    Ptop = hs_scan(rg.add, pts)  # (n,) inclusive, XLA log-depth
+
+    from .ec import point_select
+
+    cf = rg.cf
+    out = None
+    k = j
+    for W, nl in levels:
+        valid = k >= 0
+        kc = jnp.clip(k, 0, nl - 1)
+        w = jax.tree.map(lambda c: c[kc], W)
+        w = point_select(cf, valid, w, ident_q)
+        out = w if out is None else _wide_add(rg, out, w)
+        k = jnp.where(valid, k // B - 1, -1)
+    valid = k >= 0
+    kc = jnp.clip(k, 0, n - 1)
+    top = jax.tree.map(lambda c: c[kc], Ptop)
+    top = point_select(cf, valid, top, ident_q)
+    out = top if out is None else _wide_add(rg, out, top)
+    return out
+
+
 def _reduce_pts(rg, pts, B: int):
     """Sum of (n,) projective points -> single point (same pad+slice
     structure as _full_prefix: one totals launch per level, single-launch
@@ -697,16 +745,19 @@ class DeviceCurveGroup:
                 order = jnp.argsort(digits)
                 leaves = (X[order], Y[order], inf[order])
                 w_get, T = _scan_prefix_madd(rg, leaves, _RCB_B)
-            pfull = _full_prefix(rg, T, _RCB_B)
             cnt = _bucket_counts(digits, nb)
             q = cnt.astype(jnp.int32) - 1
             qc = jnp.maximum(q, 0)
             e_wb = w_get(qc)
             g = qc // _RCB_B
-            before = jax.tree.map(
-                lambda c_: c_[jnp.maximum(g - 1, 0)], pfull
-            )
-            before = point_select(self.cf, g > 0, before, ident_q)
+            if packed:
+                before = _boundary_before(rg, T, g - 1, ident_q)
+            else:
+                pfull = _full_prefix(rg, T, _RCB_B)
+                before = jax.tree.map(
+                    lambda c_: c_[jnp.maximum(g - 1, 0)], pfull
+                )
+                before = point_select(self.cf, g > 0, before, ident_q)
             E = _wide_add(rg, before, e_wb)
             E = point_select(self.cf, q >= 0, E, ident_q)
             e_last = jax.tree.map(lambda c_: c_[nb - 1], E)

@@ -188,11 +188,21 @@ class QapMatrices:
             cc = sdom.coset_eval(c)
             q = df.sub(df.mul(ca, cb), cc)
             return sdom.coset_interp(dom.divide_by_vanishing_poly_on_coset(q))
-        ca = dom.coset_ntt(dom.intt(a))
-        cb = dom.coset_ntt(dom.intt(b))
-        cc = dom.coset_ntt(dom.intt(c))
+        tdom = dom
+        if self.m >= (1 << 14):
+            # the limb-major four-step transform beats the interleaved
+            # ladder 3-6x at witness-map scale (measured at 2^17..2^22,
+            # scripts/probe_ntt_ab.py: e.g. 237 ms vs 728 ms per
+            # intt+coset_ntt pair at 2^21) — the ladder's (.., L) stage
+            # temporaries pay XLA's 8x lane padding at every stage
+            from ...ops.ntt_large import get_fourstep_domain
+
+            tdom = get_fourstep_domain(self.spec, self.m)
+        ca = tdom.coset_ntt(tdom.intt(a))
+        cb = tdom.coset_ntt(tdom.intt(b))
+        cc = tdom.coset_ntt(tdom.intt(c))
         q = df.sub(df.mul(ca, cb), cc)
-        return dom.coset_intt(dom.divide_by_vanishing_poly_on_coset(q))
+        return tdom.coset_intt(dom.divide_by_vanishing_poly_on_coset(q))
 
     def evaluations_at(self, t: int):
         """u_i(t), v_i(t), w_i(t) for every variable i (setup instance map)."""

@@ -76,6 +76,28 @@ def main() -> None:
     for shard in back.addressable_shards:
         assert np.array_equal(np.asarray(shard.data), expect_back[shard.index])
 
+    # ---- full multi-process prove (VERDICT r3 item 7): the sharded prover
+    # runs across BOTH processes' devices (Gloo collectives), and the proof
+    # must equal the single-process reference bit-for-bit ----
+    from ckb_zkp_tpu.bench_circuits import square_chain_shape
+    from ckb_zkp_tpu.schemes import groth16
+    from ckb_zkp_tpu.schemes.groth16.prover import create_proof_from_shape
+    from ckb_zkp_tpu.schemes.groth16.qap import QapMatrices
+
+    curve = get_curve("bn254")
+    shape = square_chain_shape(1 << 8, p)
+    params = groth16.generate_parameters_from_shape(
+        shape, curve, alpha=5, beta=7, gamma=11, delta=13, t=0xABCDEF0123456789
+    )
+    qap = QapMatrices(shape, curve.fr)
+    proof = create_proof_from_shape(params, shape, 3, 7, qap=qap, mesh=mesh)
+    single = create_proof_from_shape(params, shape, 3, 7, qap=qap)
+    assert (
+        proof.a == single.a and proof.b == single.b and proof.c == single.c
+    ), f"multi-process proof mismatch on proc {pid}"
+    pvk = groth16.prepare_verifying_key(curve, params.vk)
+    assert groth16.verify_proof(curve, pvk, proof, shape.input_assignment[1:])
+
     print("MH_OK", pid, flush=True)
 
 

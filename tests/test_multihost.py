@@ -1,9 +1,12 @@
-"""Two-process multi-host smoke test (SURVEY §5 distributed comm backend).
+"""Two-process multi-host test (SURVEY §5 distributed comm backend).
 
 Launches two REAL processes that join one JAX job via
 jax.distributed.initialize (Gloo CPU collectives; the TPU runtime swaps in
-ICI/DCN transparently) and run the mesh-sharded four-step NTT across the
-4-device global mesh, each verifying its own shards.
+ICI/DCN transparently) and, across the 4-device global mesh: (1) run the
+mesh-sharded four-step NTT, each process verifying its own shards, and
+(2) create a FULL Groth16 proof with the sharded prover
+(create_proof_from_shape(mesh=global_mesh())), asserting bit-equality with
+the single-process proof and verifier acceptance.
 """
 
 import os
@@ -40,7 +43,9 @@ def test_two_process_sharded_ntt():
     outs = []
     try:
         for pr in procs:
-            out, _ = pr.communicate(timeout=540)
+            # generous: the mesh-prove leg pays fresh XLA compiles on a cold
+            # cache (~15 min on this 2-vCPU box); warm-cache runs are fast
+            out, _ = pr.communicate(timeout=1500)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for pr in procs:
