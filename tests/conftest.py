@@ -18,3 +18,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# The persistent compilation cache segfaults this box's XLA:CPU inside
+# backend.deserialize_executable once a process has ~170 loaded executables
+# (deterministic at full-suite scale, even on a freshly written cache —
+# round-4 bisection; the cpu_aot_loader logs machine-feature mismatches for
+# the AOT blobs it reloads). The in-process jit cache is unaffected; the
+# full suite pays fresh XLA:CPU compiles each run. Re-enable explicitly via
+# CKB_ZKP_TPU_TEST_CACHE=1 to experiment.
+if os.environ.get("CKB_ZKP_TPU_TEST_CACHE", "") in ("", "0"):
+    jax.config.update("jax_enable_compilation_cache", False)

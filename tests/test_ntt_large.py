@@ -46,15 +46,56 @@ def test_roundtrip(setup):
     assert np.array_equal(back_c, x)
 
 
-def test_domain_routes_large(setup, monkeypatch):
-    fr, dom, four, x = setup
-    monkeypatch.setattr(ntt_mod, "LARGE_NTT_MIN", N)
-    routed = Domain(fr, N)
-    assert routed.is_large
-    assert np.array_equal(np.asarray(routed.ntt(x)), np.asarray(dom.ntt(x)))
-    assert np.array_equal(
-        np.asarray(routed.coset_intt(x)), np.asarray(dom.coset_intt(x))
+def test_domain_routes_large():
+    """Runs in a SUBPROCESS: in a full-suite process (~170 loaded CPU
+    executables) this test deterministically segfaults inside jax's
+    persistent-cache executable deserialization (compilation_cache.py
+    get_executable_and_time) — an upstream XLA:CPU issue, reproducible
+    only at suite scale, not standalone (r4 bisection). The subprocess
+    keeps the routing check while isolating the fragile deserialize."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from ckb_zkp_tpu.host.pairing import get_curve
+from ckb_zkp_tpu.ops import ntt as ntt_mod
+from ckb_zkp_tpu.ops.field import device_field
+from ckb_zkp_tpu.ops.ntt import Domain
+
+N = 1 << 10
+spec = get_curve("bn254").fr
+fr = device_field(spec)
+dom = Domain(fr, N)
+rng = np.random.default_rng(7)
+x = np.asarray(fr.encode([int(v) for v in rng.integers(0, 1 << 63, size=N)]))
+ntt_mod.LARGE_NTT_MIN = N
+routed = Domain(fr, N)
+assert routed.is_large
+assert np.array_equal(np.asarray(routed.ntt(x)), np.asarray(dom.ntt(x)))
+assert np.array_equal(
+    np.asarray(routed.coset_intt(x)), np.asarray(dom.coset_intt(x))
+)
+print("ROUTE OK")
+"""
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", "")
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env["PYTHONPATH"]
     )
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "ROUTE OK" in res.stdout
 
 
 def test_odd_log2_split(setup):
