@@ -360,9 +360,16 @@ class DeviceCurveGroup:
         # would otherwise pile up one XLA compile per shape. On the TPU
         # tunnel every compile costs minutes (a 10-constraint CLI circuit
         # timed out entirely on device), so the cutoff is higher there; the
-        # device path serves all large batches
-        self.small_host_threshold = (
-            512 if jax.default_backend() == "cpu" else 4096
+        # device path serves all large batches. CKB_ZKP_TPU_HOST_MSM_MAX
+        # overrides (the multi-chip dryrun raises it so its reference prover
+        # and setup stay compile-free)
+        import os as _os
+
+        self.small_host_threshold = int(
+            _os.environ.get(
+                "CKB_ZKP_TPU_HOST_MSM_MAX",
+                "512" if jax.default_backend() == "cpu" else "4096",
+            )
         )
         # chunk size for fixed-base batches. The pallas mixed-add path keeps
         # temporaries in VMEM, so big chunks are fine; the XLA fallback
@@ -526,7 +533,11 @@ class DeviceCurveGroup:
     def msm(self, P, scalars):
         """Public MSM entry: pads N to a power of two (>= 8) so compiled
         graphs are reused across nearby sizes (infinity points / zero scalars
-        are absorbing). Tiny CPU batches run on host ints instead."""
+        are absorbing) — EXCEPT inputs already at the scan kernels' tile
+        alignment, which run at their exact size (query arrays are emitted
+        align-padded by the generator precisely so the big prover MSMs skip
+        the up-to-2x pow2 padding waste). Tiny CPU batches run on host ints
+        instead."""
         n = scalars.shape[0]
         if n <= self.small_host_threshold:
             pts = self.decode_points_host(P)
@@ -538,6 +549,8 @@ class DeviceCurveGroup:
             # one compiled graph serves all mid sizes and the in-kernel path
             # beats a 32-step XLA scan even on mostly-identity padding
             min_n = _rcb_align(rcb_group(self))
+            if n % min_n == 0:
+                return self._msm_jit(tuple(P), scalars)
         np2 = max(min_n, 1 << (n - 1).bit_length())
         if np2 != n:
             pad = self.p_identity((np2 - n,))
@@ -964,7 +977,13 @@ class DeviceCurveGroup:
                 return self.encode_points(pts)
             table = table.table
         n = scalars.shape[0]
-        np2 = max(8, 1 << (n - 1).bit_length())
+        align = _rcb_align(rcb_group(self)) if self._use_rcb else 0
+        if self.fq.use_pallas and align and n >= align:
+            # align-pad like the variable-base entry: query arrays keep the
+            # exact generator width so prover MSMs skip the pow2 waste
+            np2 = -(-n // align) * align
+        else:
+            np2 = max(8, 1 << (n - 1).bit_length())
         if np2 != n:
             pad_fn = np.pad if isinstance(scalars, np.ndarray) else jnp.pad
             scalars = pad_fn(scalars, ((0, np2 - n), (0, 0)))
@@ -975,10 +994,12 @@ class DeviceCurveGroup:
                 # every batch size (the lax.scan variant bakes the chunk
                 # count into the executable — a fresh multi-second program
                 # load per circuit size through the TPU tunnel); dispatches
-                # pipeline device-side, the concat is a tiny copy program
+                # pipeline device-side, the concat is a tiny copy program.
+                # Align-padded widths add at most one smaller tail chunk
+                # (one extra compiled chunk shape).
                 outs = [
                     self._fixed_base_jit(
-                        table, scalars[i : i + chunk]
+                        table, scalars[i : min(i + chunk, np2)]
                     )
                     for i in range(0, np2, chunk)
                 ]

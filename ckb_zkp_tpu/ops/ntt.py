@@ -214,15 +214,14 @@ class Domain:
         """
         df, p = self.df, self.df.spec.modulus
         if self.is_large:
-            # the n-sized interleaved power table this kernel consumes is
-            # exactly the layout the four-step path exists to avoid (8x lane
-            # padding OOMs the chip at 2^24); a limb-major Lagrange kernel is
-            # the supported route if setup ever needs domains this large
-            raise NotImplementedError(
-                f"evaluate_all_lagrange_coefficients unsupported for n >= "
-                f"LARGE_NTT_MIN (= 2^{(self.n - 1).bit_length()} domain); "
-                "see ops/ntt_large.py"
-            )
+            # limb-major route: the n-sized interleaved power table the small
+            # kernel consumes is exactly the layout the four-step path exists
+            # to avoid (8x lane padding OOMs the chip at 2^24)
+            if self._fourstep is None:
+                from .ntt_large import get_fourstep_domain
+
+                self._fourstep = get_fourstep_domain(self.df.spec, self.n)
+            return self._fourstep.evaluate_all_lagrange_coefficients(tau)
         t = tau % p
         pow_w = self._pow_table(self.omega)  # w^i
         if pow(t, self.n, p) == 1:

@@ -281,6 +281,127 @@ class FourStepDomain:
         assert x.shape == (self.n, self.df.L), (x.shape, self.n)
         return self._core(x, self._grid(inverse), inverse=inverse, coset=coset)
 
+    # ---- large-domain Lagrange coefficients (Groth16/KZG setup path) ----
+    def _hs_mul_scan(self, X: jnp.ndarray, axis: int, reverse: bool):
+        """Inclusive Hillis-Steele product scan of (L, n1, n2) along axis."""
+        df = self.df
+        n = X.shape[axis]
+
+        def sl(a, b):
+            s = [slice(None)] * 3
+            s[axis] = slice(a, b)
+            return tuple(s)
+
+        # identity-shifted full-width steps (never ragged slices): every
+        # multiply keeps per-limb element counts at the full grid width, so
+        # the limb-major Pallas mul stays engaged (ragged widths would fall
+        # back to the interleaved XLA path and its 8x lane padding)
+        one_col = jnp.asarray(
+            np.asarray(df.r_limbs, dtype=np.uint32).reshape(df.L, 1, 1)
+        )
+        shift = 1
+        while shift < n:
+            pad_shape = list(X.shape)
+            pad_shape[axis] = shift
+            pad = jnp.broadcast_to(one_col, tuple(pad_shape))
+            if reverse:
+                # out[i] = prod X[i..]: combine X[i] with X[i + shift]
+                shifted = jnp.concatenate([X[sl(shift, n)], pad], axis=axis)
+            else:
+                # out[i] = prod X[..i]: combine X[i] with X[i - shift]
+                shifted = jnp.concatenate([pad, X[sl(0, n - shift)]], axis=axis)
+            X = mul0(df, X, shifted)
+            shift *= 2
+        return X
+
+    def _batch_inv_grid(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery-trick batch inversion of a nonzero (L, n1, n2) grid,
+        fully limb-major (the (n, L) batch_inv layout pads 8x at 2^24)."""
+        df = self.df
+        L, n1, n2 = X.shape
+        prefix = self._hs_mul_scan(X, 2, reverse=False)  # within-row prefixes
+        suffix = self._hs_mul_scan(X, 2, reverse=True)
+        row_tot = prefix[:, :, n2 - 1 : n2]  # (L, n1, 1)
+        rp = self._hs_mul_scan(row_tot.swapaxes(1, 2), 2, False).swapaxes(1, 2)
+        rs = self._hs_mul_scan(row_tot.swapaxes(1, 2), 2, True).swapaxes(1, 2)
+        one = jnp.asarray(
+            np.asarray(df.r_limbs, dtype=np.uint32).reshape(L, 1, 1)
+        )
+        # total product inverse via one Fermat inversion (interleaved, tiny)
+        tot = rp[:, n1 - 1 : n1, :]  # (L, 1, 1)
+        tot_i = jnp.moveaxis(
+            df.inv(jnp.moveaxis(tot, 0, -1)), -1, 0
+        )
+        rows_left = jnp.concatenate([one, rp[:, : n1 - 1, :]], axis=1)
+        rows_right = jnp.concatenate([rs[:, 1:, :], one], axis=1)
+        row_out = mul0(
+            df,
+            mul0(df, jnp.broadcast_to(rows_left, rows_right.shape), rows_right),
+            jnp.broadcast_to(tot_i, rows_right.shape),
+        )  # (L, n1, 1): inverse of each row's total product
+        ones_col = jnp.broadcast_to(one, (L, n1, 1))
+        left = jnp.concatenate([ones_col, prefix[:, :, : n2 - 1]], axis=2)
+        right = jnp.concatenate([suffix[:, :, 1:], ones_col], axis=2)
+        out = mul0(df, mul0(df, left, right), jnp.broadcast_to(row_out, X.shape))
+        return out
+
+    def evaluate_all_lagrange_coefficients(self, tau: int) -> jnp.ndarray:
+        """[L_i(tau)]_{i<n} as (n, L) Montgomery limbs — the limb-major
+        large-domain route for the Groth16/KZG setup instance map
+        (reference: groth16/src/r1cs_to_qap.rs:58-110; removes the
+        LARGE_NTT_MIN guard of ops/ntt.py)."""
+        df, p = self.df, self.spec.modulus
+        L, n1, n2 = df.L, self.n1, self.n2
+        t = tau % p
+        if pow(t, self.n, p) == 1:
+            # tau in the domain: L_i = delta_i (host-built one-hot)
+            idx, cur = 0, 1
+            for i in range(self.n):
+                if cur == t:
+                    idx = i
+                    break
+                cur = cur * self.omega % p
+            out = np.zeros((self.n, L), dtype=np.uint32)
+            out[idx] = df.r_limbs
+            return jnp.asarray(out)
+        zt_over_n = (pow(t, self.n, p) - 1) * pow(self.n, -1, p) % p
+        hp = functools.partial(_host_mont_powers, self.spec, L=L)
+        # w^i at grid (a, b), i = a*n2 + b: rank-1 (w^n2)^a x w^b, with
+        # zt_over_n folded into the a-vector
+        ca = jnp.asarray(hp(pow(self.omega, n2, p), n1, scale=zt_over_n))
+        cb = jnp.asarray(hp(self.omega, n2))
+        wa = jnp.asarray(hp(pow(self.omega, n2, p), n1))
+        t_limbs = jnp.asarray(
+            np.ascontiguousarray(
+                ints_to_limbs([t * ((1 << (BASE_BITS * L)) % p) % p], L).T
+            )
+        ).reshape(L, 1, 1)
+        return self._lagrange_jit_core(ca, cb, wa, t_limbs)
+
+    @functools.cached_property
+    def _lagrange_jit_core(self):
+        df, L, n1, n2 = self.df, self.df.L, self.n1, self.n2
+
+        @jax.jit
+        def core(ca, cb, wa, t_limbs):
+            # num[a, b] = zt_over_n * w^(a*n2) * w^b   (rank-1 product)
+            num = mul0(
+                df,
+                jnp.broadcast_to(ca[:, :, None], (L, n1, n2)),
+                jnp.broadcast_to(cb[:, None, :], (L, n1, n2)),
+            )
+            # den[a, b] = t - w^i (nonzero: t is outside the domain)
+            wgrid = mul0(
+                df,
+                jnp.broadcast_to(wa[:, :, None], (L, n1, n2)),
+                jnp.broadcast_to(cb[:, None, :], (L, n1, n2)),
+            )
+            den = sub0(df, jnp.broadcast_to(t_limbs, wgrid.shape), wgrid)
+            out = mul0(df, num, self._batch_inv_grid(den))
+            return out.transpose(1, 2, 0).reshape(self.n, L)
+
+        return core
+
     # ---- public API (matches Domain) ----
     def ntt(self, coeffs):
         return self.fft(coeffs)

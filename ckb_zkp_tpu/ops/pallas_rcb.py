@@ -37,13 +37,23 @@ from .pallas_field import (
     LANES,
     _add_rows,
     _mont_mul_rows,
+    _mont_mul_rows_mxu,
     _mont_sqr_rows,
+    _mont_sqr_rows_mxu,
     _select_rows,
     _sub_rows,
+    mxu_band_consts,
 )
 from .pallas_ec import _F, _one_mont
 
 _INTERPRET = os.environ.get("CKB_ZKP_TPU_PALLAS_INTERPRET", "0") not in ("", "0")
+
+# MXU Montgomery reduction inside the EC kernels (measured +19% on the G1
+# scan, scripts/probe_scan6.py): the two constant-operand reduction
+# convolutions ride the MXU as int8 band matmuls while the VPU keeps the
+# schoolbook product + carries. Bit-identical to the VPU-only path
+# (tests/test_pallas_field.py). Opt out with CKB_ZKP_TPU_MXU=0.
+_USE_MXU = os.environ.get("CKB_ZKP_TPU_MXU", "1") not in ("", "0")
 
 SUBS = 8  # sublanes per block (1024 lanes per grid step)
 
@@ -74,6 +84,49 @@ class _FRcb(_F):
     def identity_rows(self, tile):
         """(0 : 1 : 0) as limb-row lists."""
         return (self.zero_like(tile), self.one_like(tile), self.zero_like(tile))
+
+
+class _FRcbMxu(_FRcb):
+    """_FRcb with the MXU Montgomery reduction for every field multiply.
+
+    m1/m2 are the in-kernel views of the mxu_band_consts band matrices
+    (Pallas forbids captured array constants, so they arrive as kernel
+    inputs); rs1/rs2 are static row-sum tuples. For Fq2 (ext=2) each of the
+    three Karatsuba base multiplies uses the MXU reduce."""
+
+    def __init__(self, base: _FRcb, m1, m2, rs1, rs2):
+        _FRcb.__init__(
+            self, base.ext, base.p, base.np, base.b3_small, base.b3_limbs
+        )
+        self._mxu = (m1, m2, rs1, rs2)
+
+    def _mm(self, a, b):
+        return _mont_mul_rows_mxu(a, b, self.p, self.np, *self._mxu)
+
+    def mul(self, a, b):
+        L = self.L
+        if self.ext == 1:
+            return self._mm(a, b)
+        a0, a1 = a[:L], a[L:]
+        b0, b1 = b[:L], b[L:]
+        v0 = self._mm(a0, b0)
+        v1 = self._mm(a1, b1)
+        c0 = _sub_rows(v0, v1, self.p)  # beta = -1
+        s = self._mm(_add_rows(a0, a1, self.p), _add_rows(b0, b1, self.p))
+        c1 = _sub_rows(s, _add_rows(v0, v1, self.p), self.p)
+        return [*c0, *c1]
+
+    def sqr(self, a):
+        if self.ext == 1:
+            return _mont_sqr_rows_mxu(a, self.p, self.np, *self._mxu)
+        return self.mul(a, a)  # keep bit-exact with DeviceFq2.sqr
+
+
+def _mxu_wrap(kern_fn, extra, F, rs1, rs2, m1_ref, m2_ref, *refs):
+    """Kernel shim: build the MXU field view from the two band-matrix refs
+    (always the leading kernel inputs), then run the wrapped kernel body."""
+    Fm = _FRcbMxu(F, m1_ref[:], m2_ref[:], rs1, rs2)
+    return kern_fn(Fm, *extra, *refs)
 
 
 def _rcb_add_core(F: _FRcb, p, q):
@@ -325,11 +378,30 @@ def _unflatten(cf, c):
     return c
 
 
+def _mxu_prep(kern_fn, extra, F, sb, p_limbs, np_limbs):
+    """(kern, extra_inputs, extra_specs): wraps kern_fn with the MXU shim
+    when enabled, else binds it plainly. `extra` is the static-arg tuple
+    between F and the refs (the scan kernels' (B,), or ())."""
+    if not _USE_MXU:
+        return functools.partial(kern_fn, F, *extra), (), ()
+    m1np, m2np, rs1, rs2 = mxu_band_consts(p_limbs, np_limbs, sb)
+    # band matrices are small (<= 192 KB int8) — embedded as compiled
+    # literals via jnp constants, one VMEM-resident block each
+    kern = functools.partial(_mxu_wrap, kern_fn, extra, F, rs1, rs2)
+    specs = tuple(
+        pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for m in (m1np, m2np)
+    )
+    return kern, (jnp.asarray(m1np), jnp.asarray(m2np)), specs
+
+
 @functools.lru_cache(maxsize=None)
 def _add_fn(ext, sb, p_limbs, np_limbs, b3_small, b3_limbs):
     F = _F_for(ext, p_limbs, np_limbs, b3_small, b3_limbs)
     R = ext * F.L
-    kern = functools.partial(_add_kernel, F)
+    kern, mxu_in, mxu_specs = _mxu_prep(
+        _add_kernel, (), F, sb, p_limbs, np_limbs
+    )
 
     @jax.jit
     def run(x1, y1, z1, x2, y2, z2):
@@ -337,9 +409,10 @@ def _add_fn(ext, sb, p_limbs, np_limbs, b3_small, b3_limbs):
         shp = jax.ShapeDtypeStruct(x1.shape, jnp.uint32)
         return pl.pallas_call(
             kern, out_shape=(shp, shp, shp), grid=(x1.shape[1] // sb,),
-            in_specs=[spec] * 6, out_specs=(spec, spec, spec),
+            in_specs=list(mxu_specs) + [spec] * 6,
+            out_specs=(spec, spec, spec),
             interpret=_INTERPRET,
-        )(x1, y1, z1, x2, y2, z2)
+        )(*mxu_in, x1, y1, z1, x2, y2, z2)
 
     return run
 
@@ -348,7 +421,9 @@ def _add_fn(ext, sb, p_limbs, np_limbs, b3_small, b3_limbs):
 def _madd_fn(ext, sb, p_limbs, np_limbs, b3_small, b3_limbs):
     F = _F_for(ext, p_limbs, np_limbs, b3_small, b3_limbs)
     R = ext * F.L
-    kern = functools.partial(_madd_kernel, F)
+    kern, mxu_in, mxu_specs = _mxu_prep(
+        _madd_kernel, (), F, sb, p_limbs, np_limbs
+    )
 
     @jax.jit
     def run(x1, y1, z1, x2, y2, f2):
@@ -359,9 +434,10 @@ def _madd_fn(ext, sb, p_limbs, np_limbs, b3_small, b3_limbs):
         shp = jax.ShapeDtypeStruct(x1.shape, jnp.uint32)
         return pl.pallas_call(
             kern, out_shape=(shp, shp, shp), grid=(x1.shape[1] // sb,),
-            in_specs=[spec] * 5 + [fspec], out_specs=(spec, spec, spec),
+            in_specs=list(mxu_specs) + [spec] * 5 + [fspec],
+            out_specs=(spec, spec, spec),
             interpret=_INTERPRET,
-        )(x1, y1, z1, x2, y2, f2)
+        )(*mxu_in, x1, y1, z1, x2, y2, f2)
 
     return run
 
@@ -377,7 +453,9 @@ def _scan_fn(kind, ext, B, sb, p_limbs, np_limbs, b3_small, b3_limbs):
         "prefix_add": _scan_prefix_add_kernel,
         "total_add": _scan_total_add_kernel,
     }
-    kern = functools.partial(kerns[kind], F, B)
+    kern, mxu_in, mxu_specs = _mxu_prep(
+        kerns[kind], (B,), F, sb, p_limbs, np_limbs
+    )
     with_w = kind != "total_add"
     r_in = R // 2 if kind.startswith("prefix_madd_packed") else R
 
@@ -403,9 +481,9 @@ def _scan_fn(kind, ext, B, sb, p_limbs, np_limbs, b3_small, b3_limbs):
         params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             kern, out_shape=out_shape, grid=(g128 // sb,),
-            in_specs=in_specs, out_specs=out_specs,
+            in_specs=list(mxu_specs) + in_specs, out_specs=out_specs,
             interpret=_INTERPRET, compiler_params=params,
-        )(*ins)
+        )(*mxu_in, *ins)
 
     return run
 

@@ -15,6 +15,20 @@ import jax.numpy as jnp
 from .field import DeviceField
 from .scan_utils import segment_sum_sorted
 
+# Query/column arrays pad to the MSM scan kernels' tile alignment (32 x 8 x
+# 128, ops/msm._rcb_align) instead of the next power of two once they exceed
+# it: a 2^20+2-variable circuit otherwise pads its a/b/l query MSMs to 2^21 —
+# doubling the dominant prover cost for ~zero compile-cache benefit (each
+# bench size is warm-cached by exact shape anyway).
+COL_ALIGN = 32 * 8 * 128
+
+
+def aligned_cols(n: int) -> int:
+    """Shared column-padding rule: pow2 below COL_ALIGN, COL_ALIGN-multiple
+    above (always <= the old pow2 padding)."""
+    pow2 = max(8, 1 << max(0, n - 1).bit_length())
+    return min(pow2, -(-n // COL_ALIGN) * COL_ALIGN)
+
 
 class DeviceCoo:
     """COO matrix with device arrays; supports y = M @ z and y = M^T @ z."""
@@ -35,7 +49,7 @@ class DeviceCoo:
         # shared across the A/B/C matrices and nearby circuit sizes
         self.nnz = len(coeffs)
         self.nnz_pad = max(8, 1 << max(0, self.nnz - 1).bit_length())
-        self.num_cols_pad = max(8, 1 << max(0, num_cols - 1).bit_length())
+        self.num_cols_pad = aligned_cols(num_cols)
         npad = self.nnz_pad - self.nnz
         rows = np.concatenate(
             [np.asarray(rows, dtype=np.int32), np.full(npad, num_rows, np.int32)]

@@ -91,6 +91,41 @@ class DeviceSumcheck:
         vals = self.fr.decode(out)
         return vals[0], vals[1], vals[2]
 
+    def cubic3_round_many(self, triples) -> list[tuple[int, int, int]]:
+        """(e0, e2, e3) of sum_j a*b*c for MANY (A, B, C) device tables with
+        ONE decode transfer (the SPARK batched cubic sumcheck round,
+        spartan/src/prover.rs:1442-1607: parallel left*right*eq triples plus
+        sequential row*col*val triples share one round)."""
+        fr = self.fr
+        outs = []
+        for A, B, C in triples:
+            al, ah = self._halves(A)
+            bl, bh = self._halves(B)
+            cl, ch = self._halves(C)
+            outs.append(self._sum(fr.mul(fr.mul(al, bl), cl)))
+            outs.append(
+                self._sum(
+                    fr.mul(
+                        fr.mul(
+                            self._extend(al, ah, 2), self._extend(bl, bh, 2)
+                        ),
+                        self._extend(cl, ch, 2),
+                    )
+                )
+            )
+            outs.append(
+                self._sum(
+                    fr.mul(
+                        fr.mul(
+                            self._extend(al, ah, 3), self._extend(bl, bh, 3)
+                        ),
+                        self._extend(cl, ch, 3),
+                    )
+                )
+            )
+        vals = fr.decode(jnp.stack(outs))
+        return [tuple(vals[i : i + 3]) for i in range(0, len(vals), 3)]
+
     def quad_round(self, pabc, pz) -> tuple[int, int]:
         """(eval_0, eval_2) of sum_j pabc*pz (phase two)."""
         fr = self.fr

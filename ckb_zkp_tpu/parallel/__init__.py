@@ -8,6 +8,6 @@ butterflies exchanged via `all_to_all` in the four-step decomposition.
 
 from .mesh import make_mesh
 from .msm import msm_sharded
-from .ntt import ShardedDomain
+from .ntt import ShardedDomain, get_sharded_domain
 
-__all__ = ["make_mesh", "msm_sharded", "ShardedDomain"]
+__all__ = ["make_mesh", "msm_sharded", "ShardedDomain", "get_sharded_domain"]

@@ -20,6 +20,42 @@ from ..ops.scan_utils import blocked_reduce
 from .mesh import SHARD_AXIS
 
 
+# one jitted shard-mapped MSM per (curve, group, mesh, axis, coord rank):
+# rebuilding jax.jit(fn) per call re-traced AND re-compiled the identical
+# program for every MSM in a sharded prove (3x for the G1 a/h/l queries) —
+# the dominant cost of the 8-device CPU dryrun (round-5 profile)
+_SHARDED_JITS: dict = {}
+
+
+def _sharded_msm_fn(dg: DeviceCurveGroup, mesh, axis: str, coord_rank: int):
+    key = (dg.curve.name, dg.group, mesh, axis, coord_rank)
+    fn = _SHARDED_JITS.get(key)
+    if fn is not None:
+        return fn
+    pspec = P(axis, *([None] * (coord_rank - 1)))
+    out_spec = P(*([None] * (coord_rank - 1)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=((pspec,) * 3, P(axis, None)),
+        out_specs=(out_spec,) * 3,
+        # identity constants (bucket infinities, scan carries) are replicated
+        # while data is per-shard; skip the varying-axis type check
+        check_vma=False,
+    )
+    def fn(pts, s):
+        part = dg._msm_impl(pts, s)
+        gathered = jax.tree.map(
+            lambda c: jax.lax.all_gather(c, axis, axis=0), part
+        )
+        return blocked_reduce(dg.p_add, gathered, dg.p_identity())
+
+    fn = jax.jit(fn)
+    _SHARDED_JITS[key] = fn
+    return fn
+
+
 def msm_sharded(dg: DeviceCurveGroup, points, scalars, mesh, axis: str = SHARD_AXIS):
     """points: Jacobian (X,Y,Z) leading axis N; scalars: (N, L) canonical.
 
@@ -38,22 +74,5 @@ def msm_sharded(dg: DeviceCurveGroup, points, scalars, mesh, axis: str = SHARD_A
         )
 
     coord_rank = jax.tree.leaves(points)[0].ndim  # 2 for G1, 3 for G2
-    pspec = P(axis, *([None] * (coord_rank - 1)))
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(tuple(pspec for _ in points), P(axis, None)),
-        out_specs=jax.tree.map(lambda _: P(*([None] * (coord_rank - 1))), tuple(points)),
-        # identity constants (bucket infinities, scan carries) are replicated
-        # while data is per-shard; skip the varying-axis type check
-        check_vma=False,
-    )
-    def fn(pts, s):
-        part = dg._msm_impl(pts, s)
-        gathered = jax.tree.map(
-            lambda c: jax.lax.all_gather(c, axis, axis=0), part
-        )
-        return blocked_reduce(dg.p_add, gathered, dg.p_identity())
-
-    return jax.jit(fn)(tuple(points), scalars)
+    fn = _sharded_msm_fn(dg, mesh, axis, coord_rank)
+    return fn(tuple(points), scalars)

@@ -16,6 +16,7 @@ spectra (transpose-free convolution).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -27,6 +28,15 @@ from ..host.field import FieldSpec
 from ..ops.field import device_field
 from ..ops.ntt import get_domain
 from .mesh import SHARD_AXIS
+
+
+@functools.lru_cache(maxsize=None)
+def get_sharded_domain(
+    spec: FieldSpec, n: int, mesh, axis: str = SHARD_AXIS
+) -> "ShardedDomain":
+    """Cached ShardedDomain: the jitted shard-mapped transforms live on the
+    instance, so re-instantiating per prove recompiles them all."""
+    return ShardedDomain(spec, n, mesh, axis)
 
 
 class ShardedDomain:

@@ -52,10 +52,14 @@ def generate_parameters_from_shape(
     gamma: int,
     delta: int,
     t: int,
+    host_mode: bool | None = None,
 ) -> Parameters:
+    """host_mode=True forces the compile-free host-int instance map and
+    (with CKB_ZKP_TPU_HOST_MSM_MAX raised) host fixed-base MSMs — the
+    multi-chip dryrun uses this to keep setup off the device budget."""
     p = curve.fr.modulus
     fr = device_field(curve.fr)
-    qap = QapMatrices(shape, curve.fr)
+    qap = QapMatrices(shape, curve.fr, host_mode=host_mode)
     zt = (pow(t, qap.m, p) - 1) % p
     if zt == 0:
         raise ValueError("t lies in the evaluation domain; resample")

@@ -63,7 +63,8 @@ def create_proof_from_shape(
 
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
-    z = shape.full_assignment()
+    with stage("groth16/full_assignment"):
+        z = shape.full_assignment()
     ni = shape.num_inputs
     nv = shape.num_inputs + shape.num_aux
     padded = params.padded_queries
@@ -101,25 +102,27 @@ def create_proof_from_shape(
         sdom = None
         if mesh is not None:
             from ...parallel.mesh import SHARD_AXIS
-            from ...parallel.ntt import ShardedDomain
+            from ...parallel.ntt import get_sharded_domain
 
             d = mesh.shape[SHARD_AXIS]
             if qap.m >= d * d:  # four-step needs d | n1 and d | n2
-                sdom = ShardedDomain(curve.fr, qap.m, mesh)
+                sdom = get_sharded_domain(curve.fr, qap.m, mesh)
         with stage("groth16/qap_witness_map"):
             h = qap.witness_map(z_mont, sdom)  # (m, L) mont, top coeff zero
             stage_sync(h)
-        z_can = fr.from_mont(z_mont)
-        h_can = fr.from_mont(h)
-        if not padded:
-            h_can = h_can[: qap.m - 1]
-        elif qap.num_cols_pad > qap.m:
-            # h_query is padded to the shared query width (generator.py);
-            # pad h the same so every G1 MSM runs the one compiled program
-            h_can = jnp.concatenate(
-                [h_can, jnp.zeros((qap.num_cols_pad - qap.m, h_can.shape[1]),
-                                  h_can.dtype)], axis=0
-            )
+        with stage("groth16/from_mont"):
+            z_can = fr.from_mont(z_mont)
+            h_can = fr.from_mont(h)
+            if not padded:
+                h_can = h_can[: qap.m - 1]
+            elif qap.num_cols_pad > qap.m:
+                # h_query is padded to the shared query width (generator.py);
+                # pad h the same so every G1 MSM runs the one compiled program
+                h_can = jnp.concatenate(
+                    [h_can, jnp.zeros((qap.num_cols_pad - qap.m, h_can.shape[1]),
+                                      h_can.dtype)], axis=0
+                )
+            stage_sync((z_can, h_can))
 
         if mesh is not None:
             from ...parallel.msm import msm_sharded
@@ -132,28 +135,34 @@ def create_proof_from_shape(
 
         with stage("groth16/msm_a"):
             ga_acc = msm1(params.a_query, z_can)
+            stage_sync(ga_acc)
         with stage("groth16/msm_b_g2"):
             gb2_acc = msm2(params.b_g2_query, z_can)
+            stage_sync(gb2_acc)
         gb1_acc = None
         if r != 0:
             # when r == 0, C has no r*B1 term and the reference skips the
             # G1 b-query MSM entirely (prover.rs:170-179); match that
             with stage("groth16/msm_b_g1"):
                 gb1_acc = msm1(params.b_g1_query, z_can)
+                stage_sync(gb1_acc)
         with stage("groth16/msm_h"):
             h_acc = msm1(params.h_query, h_can)
+            stage_sync(h_acc)
         with stage("groth16/msm_l"):
             # padded l_query holds infinity at input slots, so the full
             # padded z pairs correctly; exact keys pair aux scalars only
             l_acc = msm1(
                 params.l_query, z_can if padded else z_can[ni:]
             )
-        ga_acc = dg1.decode_point(ga_acc)
-        gb2_acc = dg2.decode_point(gb2_acc)
-        if gb1_acc is not None:
-            gb1_acc = dg1.decode_point(gb1_acc)
-        h_acc = dg1.decode_point(h_acc)
-        l_acc = dg1.decode_point(l_acc)
+            stage_sync(l_acc)
+        with stage("groth16/decode_points"):
+            ga_acc = dg1.decode_point(ga_acc)
+            gb2_acc = dg2.decode_point(gb2_acc)
+            if gb1_acc is not None:
+                gb1_acc = dg1.decode_point(gb1_acc)
+            h_acc = dg1.decode_point(h_acc)
+            l_acc = dg1.decode_point(l_acc)
 
     g1, g2 = curve.g1, curve.g2
     # A = alpha + sum z_i u_i(t) + r*delta

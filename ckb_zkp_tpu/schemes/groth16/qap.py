@@ -54,16 +54,24 @@ def _host_ntt(xs: list[int], omega: int, p: int) -> list[int]:
 class QapMatrices:
     """Device COO matrices for A (input-augmented), B, C over the QAP domain."""
 
-    def __init__(self, shape: R1csShape, spec):
+    def __init__(self, shape: R1csShape, spec, host_mode: bool | None = None):
+        """host_mode=None: automatic (host ints for small circuits on the TPU
+        tunnel). Explicit True forces the exact host-int pipeline at any size
+        (used by the multi-chip dryrun as its compile-free reference prover);
+        False forces the device path."""
         self.df: DeviceField = device_field(spec)
         self.spec = spec
         self.m = domain_size_for(shape)
-        self.host_mode = (
-            jax.default_backend() != "cpu" and self.m <= HOST_QAP_MAX
-        )
+        if host_mode is None:
+            host_mode = (
+                jax.default_backend() != "cpu" and self.m <= HOST_QAP_MAX
+            )
+        self.host_mode = host_mode
         nc, ni = shape.num_constraints, shape.num_inputs
         nv = shape.num_variables
-        self.num_cols_pad = max(8, 1 << max(0, nv - 1).bit_length())
+        from ...ops.sparse import aligned_cols
+
+        self.num_cols_pad = aligned_cols(nv)
         a_rows = np.concatenate(
             [shape.a.rows, np.arange(nc, nc + ni, dtype=np.int32)]
         )

@@ -393,11 +393,32 @@ def sum_check_cubic_prover(
     coeffs: list[int], transcript: Transcript,
 ):
     """prover.rs:1442-1607 — batched degree-3 sumcheck over parallel
-    (left*right*eq) triples and sequential (row*col*val) triples."""
+    (left*right*eq) triples and sequential (row*col*val) triples.
+
+    Large tables run the halving recurrence on device (ops/sumcheck.py,
+    SURVEY hard part #4) exactly like the nizk/libra/hyrax provers; only
+    the three round evals cross to the host per round. Bit-identical to
+    the host-int path (same field algebra on canonical Montgomery limbs)."""
     p = curve.fr.modulus
     claim_per_round = claim
     r = []
     cubic_polys = []
+
+    from ...ops.sumcheck import DEVICE_SUMCHECK_MIN, DeviceSumcheck
+
+    table_len = len(poly_c_par)
+    ds = (
+        DeviceSumcheck(curve.fr)
+        if table_len >= DEVICE_SUMCHECK_MIN
+        else None
+    )
+    if ds is not None:
+        d_c_par = ds.encode_table(poly_c_par)
+        d_a_par = [ds.encode_table(v) for v in poly_a_par]
+        d_b_par = [ds.encode_table(v) for v in poly_b_par]
+        d_a_seq = [ds.encode_table(v) for v in poly_a_seq]
+        d_b_seq = [ds.encode_table(v) for v in poly_b_seq]
+        d_c_seq = [ds.encode_table(v) for v in poly_c_seq]
 
     def triple_evals(a, b, c):
         e0 = e2 = e3 = 0
@@ -419,11 +440,19 @@ def sum_check_cubic_prover(
     from .polynomial import combine_with_r
 
     for _ in range(num_rounds):
-        evals = [triple_evals(a, b, poly_c_par) for a, b in zip(poly_a_par, poly_b_par)]
-        evals += [
-            triple_evals(a, b, c)
-            for a, b, c in zip(poly_a_seq, poly_b_seq, poly_c_seq)
-        ]
+        if ds is not None:
+            triples = [(a, b, d_c_par) for a, b in zip(d_a_par, d_b_par)]
+            triples += list(zip(d_a_seq, d_b_seq, d_c_seq))
+            evals = ds.cubic3_round_many(triples)
+        else:
+            evals = [
+                triple_evals(a, b, poly_c_par)
+                for a, b in zip(poly_a_par, poly_b_par)
+            ]
+            evals += [
+                triple_evals(a, b, c)
+                for a, b, c in zip(poly_a_seq, poly_b_seq, poly_c_seq)
+            ]
         assert len(coeffs) == len(evals)
         e0 = sum(ev[0] * co % p for ev, co in zip(evals, coeffs)) % p
         e1 = (claim_per_round - e0) % p
@@ -436,25 +465,43 @@ def sum_check_cubic_prover(
         poly = [d_c, c_c, b_c, a_c]
         transcript.append_message(b"comm_poly", b"".join(fr_bytes(curve, x) for x in poly))
         r_j = challenge_fr(curve, transcript, b"challenge_nextround")
-        poly_c_par[:] = combine_with_r(poly_c_par, r_j, p)
-        for lst in (*poly_a_par, *poly_b_par):
-            lst[:] = combine_with_r(lst, r_j, p)
-        for lst in (*poly_a_seq, *poly_b_seq, *poly_c_seq):
-            lst[:] = combine_with_r(lst, r_j, p)
+        if ds is not None:
+            d_c_par = ds.bind(d_c_par, r_j)
+            d_a_par = [ds.bind(v, r_j) for v in d_a_par]
+            d_b_par = [ds.bind(v, r_j) for v in d_b_par]
+            d_a_seq = [ds.bind(v, r_j) for v in d_a_seq]
+            d_b_seq = [ds.bind(v, r_j) for v in d_b_seq]
+            d_c_seq = [ds.bind(v, r_j) for v in d_c_seq]
+        else:
+            poly_c_par[:] = combine_with_r(poly_c_par, r_j, p)
+            for lst in (*poly_a_par, *poly_b_par):
+                lst[:] = combine_with_r(lst, r_j, p)
+            for lst in (*poly_a_seq, *poly_b_seq, *poly_c_seq):
+                lst[:] = combine_with_r(lst, r_j, p)
         claim_per_round = _poly_eval(poly, r_j, p)
         r.append(r_j)
         cubic_polys.append(poly)
 
-    claim_prod = (
-        [a[0] for a in poly_a_par],
-        [b[0] for b in poly_b_par],
-        poly_c_par[0],
-    )
-    claim_dotp = (
-        [a[0] for a in poly_a_seq],
-        [b[0] for b in poly_b_seq],
-        [c[0] for c in poly_c_seq],
-    )
+    if ds is not None:
+        finals = ds.firsts(
+            *d_a_par, *d_b_par, d_c_par, *d_a_seq, *d_b_seq, *d_c_seq
+        )
+        na, nb = len(d_a_par), len(d_b_par)
+        ns = len(d_a_seq)
+        claim_prod = (finals[:na], finals[na : na + nb], finals[na + nb])
+        rest = finals[na + nb + 1 :]
+        claim_dotp = (rest[:ns], rest[ns : 2 * ns], rest[2 * ns :])
+    else:
+        claim_prod = (
+            [a[0] for a in poly_a_par],
+            [b[0] for b in poly_b_par],
+            poly_c_par[0],
+        )
+        claim_dotp = (
+            [a[0] for a in poly_a_seq],
+            [b[0] for b in poly_b_seq],
+            [c[0] for c in poly_c_seq],
+        )
     return cubic_polys, r, claim_prod, claim_dotp
 
 

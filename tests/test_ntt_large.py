@@ -98,6 +98,22 @@ print("ROUTE OK")
     assert "ROUTE OK" in res.stdout
 
 
+def test_lagrange_coefficients_match_small_kernel(setup):
+    """Limb-major large-domain Lagrange kernel (setup instance map) vs the
+    small-domain batched formula — array-exact, both tau cases."""
+    fr, dom, four, x = setup
+    tau = 0xABCDEF0123456789
+    want = np.asarray(dom.evaluate_all_lagrange_coefficients(tau))
+    got = np.asarray(four.evaluate_all_lagrange_coefficients(tau))
+    assert np.array_equal(want, got)
+    # tau inside the domain -> delta vector
+    spec = get_curve("bn254").fr
+    t_in = pow(spec.root_of_unity(N), 5, spec.modulus)
+    want_in = np.asarray(dom.evaluate_all_lagrange_coefficients(t_in))
+    got_in = np.asarray(four.evaluate_all_lagrange_coefficients(t_in))
+    assert np.array_equal(want_in, got_in)
+
+
 def test_odd_log2_split(setup):
     """n = 2^9: n1 != n2 exercises the asymmetric factor split."""
     fr, dom, four, x = setup

@@ -171,6 +171,37 @@ def test_spartan_nizk_device_sumcheck_path(curve, monkeypatch):
     assert nizk.verify_nizk_proof(curve, params, r1cs, [10], proof, h1, h2)
 
 
+def test_spartan_snark_spark_device_sumcheck_matches_host(curve, monkeypatch):
+    """SPARK batched cubic sumcheck (product/hash layers) on device tables
+    produces the byte-identical proof to the host-int path (VERDICT r4
+    item 6; reference: spartan/src/prover.rs:1442-1607)."""
+    from ckb_zkp_tpu.ops import sumcheck as dsum
+    from ckb_zkp_tpu.serialize.ark_schemes import ark_encode
+
+    def run():
+        rng = random.Random(99)
+        setup = snark.generate_random_parameters(curve, Mini.power_off(), rng)
+        r1cs_hash = setup.r1cs.r1cs_to_hash()
+        params_hash = snark.snark_params_to_hash(curve, setup.params)
+        encode_hash = snark.encode_to_hash(curve, setup.encode_commit)
+        proof = snark.create_snark_proof(
+            curve, setup.params, setup.r1cs, Mini.power_on(2, 3, 10),
+            setup.encode, setup.encode_commit,
+            r1cs_hash, params_hash, encode_hash, rng,
+        )
+        ok = snark.verify_snark_proof(
+            curve, setup.params, setup.r1cs, [10], proof, setup.encode_commit,
+            r1cs_hash, params_hash, encode_hash,
+        )
+        return ok, ark_encode(curve, proof)
+
+    ok_host, host_bytes = run()
+    monkeypatch.setattr(dsum, "DEVICE_SUMCHECK_MIN", 2)
+    ok_dev, dev_bytes = run()
+    assert ok_host and ok_dev
+    assert host_bytes == dev_bytes
+
+
 def test_poly_commit_vec_device_path_matches_host(curve, monkeypatch):
     from ckb_zkp_tpu.schemes.spartan import common
 
