@@ -28,17 +28,24 @@ def _resolve_curve(name: str, scheme: str | None = None):
     curve25519 serves the non-pairing schemes (spartan/bulletproofs), like
     the reference's zkp-curve25519 configurations.
     """
-    if name == "curve25519":
+    if name in ("curve25519", "jubjub", "baby_jubjub", "babyjubjub"):
         if scheme in ("groth16", "marlin", "plonk"):
             raise SystemExit(f"{scheme} needs a pairing curve (bn254|bls12_381)")
-        from ..host.ristretto import Curve25519
+        if name == "curve25519":
+            from ..host.ristretto import Curve25519
 
-        return Curve25519()
+            return Curve25519()
+        # reference curve sweep includes JubJub / Baby_JubJub for the DL
+        # schemes (/root/reference/README.md:283-288)
+        from ..host.edwards_groups import get_edwards_curve
+
+        return get_edwards_curve(name)
     try:
         return get_curve(name)
     except KeyError:
         raise SystemExit(
-            f"unknown curve {name!r} (expected bn254|bls12_381|curve25519)"
+            f"unknown curve {name!r} "
+            "(expected bn254|bls12_381|curve25519|jubjub|baby_jubjub)"
         )
 
 

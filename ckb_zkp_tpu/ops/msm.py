@@ -1096,7 +1096,8 @@ def msm_over_fixed_base(
     for one-shot lists (e.g. the bulletproofs IPA round slices,
     inner_product_proof.rs:22-174) so device encodings are not retained."""
     host = curve.g1
-    if len(scalars) < FIXED_BASE_MSM_MIN:
+    if len(scalars) < FIXED_BASE_MSM_MIN or getattr(curve, "is_edwards", False):
+        # jubjub/baby_jubjub have no device backend yet: host Pippenger
         return host.msm(base_points[: len(scalars)], scalars)
     if getattr(curve, "name", "") == "curve25519":
         from .ristretto_device import device_ristretto_group

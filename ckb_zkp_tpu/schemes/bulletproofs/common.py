@@ -26,6 +26,14 @@ def point_bytes(curve: PairingCurve, pt, group: str = "g1") -> bytes:
     """ark `to_bytes!` for an affine point: x || y || infinity-u8."""
     if curve.name == "curve25519":
         return pt.encode()  # 32-byte ristretto compression
+    if getattr(curve, "is_edwards", False):
+        # ark ToBytes for a twisted Edwards affine: x || y (identity is the
+        # valid affine (0, 1) — no infinity byte)
+        nb = curve.fq.nbytes
+        q = curve.fq.modulus
+        return (pt.x % q).to_bytes(nb, "little") + (pt.y % q).to_bytes(
+            nb, "little"
+        )
     fq = curve.fq
     if group == "g1":
         x = (pt.x % fq.modulus).to_bytes(fq.nbytes, "little")

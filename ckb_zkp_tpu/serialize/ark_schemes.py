@@ -76,7 +76,8 @@ class ArkSchemeCodec:
         self.curve = curve
         self.fr = FieldCodec(curve.fr)
         self.is_ristretto = getattr(curve, "name", "") == "curve25519"
-        if not self.is_ristretto:
+        self.is_edwards = getattr(curve, "is_edwards", False)
+        if not (self.is_ristretto or self.is_edwards):
             self.g1 = G1Codec(curve)
             self.g2 = G2Codec(curve)
 
@@ -84,6 +85,9 @@ class ArkSchemeCodec:
     def _pt_bytes(self, v) -> bytes:
         if self.is_ristretto:
             return v.encode()
+        if self.is_edwards:
+            # ark-0.2 twisted Edwards compressed: y with x-sign flag
+            return self.curve.g1.point_to_bytes(v)
         return self.g1.to_bytes(v)
 
     def _pt_read(self, buf: io.BytesIO):
@@ -96,6 +100,15 @@ class ArkSchemeCodec:
             pt = RistrettoPoint.decode(raw)
             if pt is None:
                 raise ValueError("invalid ristretto encoding")
+            return pt
+        if self.is_edwards:
+            g = self.curve.g1
+            raw = buf.read(g._nbytes)
+            if len(raw) != g._nbytes:
+                raise ValueError("truncated edwards point")
+            pt = g.point_from_bytes(raw)
+            if pt is None:
+                raise ValueError("invalid edwards encoding")
             return pt
         return self.g1.read(buf)
 

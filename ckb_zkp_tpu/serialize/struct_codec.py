@@ -21,16 +21,18 @@ import dataclasses
 import struct
 
 from ..host.curves import AffinePoint
+from ..host.edwards_groups import EdwardsPoint
 from ..host.ristretto import RistrettoPoint
 
 _REGISTRY: dict[str, type] = {}
 
 
 def _is_curve(v) -> bool:
+    from ..host.edwards_groups import _EdwardsRegistry
     from ..host.pairing import PairingCurve
     from ..host.ristretto import Curve25519
 
-    return isinstance(v, (PairingCurve, Curve25519))
+    return isinstance(v, (PairingCurve, Curve25519, _EdwardsRegistry))
 
 
 def _curve_by_name(name: str):
@@ -38,6 +40,10 @@ def _curve_by_name(name: str):
         from ..host.ristretto import Curve25519
 
         return Curve25519()
+    if name in ("jubjub", "baby_jubjub"):
+        from ..host.edwards_groups import get_edwards_curve
+
+        return get_edwards_curve(name)
     from ..host.pairing import get_curve
 
     return get_curve(name)
@@ -123,6 +129,12 @@ class _Writer:
             p.append(b"C" + bytes([len(nb)]) + nb)
         elif isinstance(v, RistrettoPoint):
             p.append(b"P" + b"r" + v.encode())
+        elif isinstance(v, EdwardsPoint):
+            fq = self.curve.fq
+            coords = (v.x % fq.modulus).to_bytes(fq.nbytes, "little") + (
+                v.y % fq.modulus
+            ).to_bytes(fq.nbytes, "little")
+            p.append(b"P" + b"e" + coords)
         elif isinstance(v, AffinePoint):
             fq = self.curve.fq
             if isinstance(v.x, int):
@@ -201,6 +213,17 @@ class _Reader:
                 pt = RistrettoPoint.decode(self._take(32))
                 if pt is None:
                     raise DecodeError("invalid ristretto encoding")
+                return pt
+            if grp == b"e":
+                fq = self.curve.fq
+                nb = fq.nbytes
+                x = int.from_bytes(self._take(nb), "little")
+                y = int.from_bytes(self._take(nb), "little")
+                if x >= fq.modulus or y >= fq.modulus:
+                    raise DecodeError("coordinate out of range")
+                pt = EdwardsPoint(x, y)
+                if not self.curve.g1.is_on_curve(pt):
+                    raise DecodeError("point not on edwards curve")
                 return pt
             fq = self.curve.fq
             nb = fq.nbytes
