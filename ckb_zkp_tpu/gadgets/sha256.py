@@ -177,9 +177,12 @@ class AbstractHashSha256Output(AbstractHashOutput):
 
     @classmethod
     def _alloc(cls, cs, digest, alloc_fn):
+        # digest=None: setup-mode allocation (values unassigned), matching
+        # the reference's Option<Vec<u8>> circuits (merkle_tree_sha256.rs)
+        bits = [None] * 256 if digest is None else bytes_to_bits_be(digest)
         values, variables = [], []
-        for bit in bytes_to_bits_be(digest):
-            v = int(bit)
+        for bit in bits:
+            v = None if bit is None else int(bit)
             var = alloc_fn("output_bit", v)
             values.append(v)
             variables.append(var)

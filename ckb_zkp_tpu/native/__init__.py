@@ -15,7 +15,11 @@ import os
 import subprocess
 from pathlib import Path
 
-_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "groth16_bn254.cc"
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+# marlin_bn254.cc #includes groth16_bn254.cc, so one .so carries both the
+# groth16 and marlin verifiers (shared BN254 tower, single build)
+_SRC = _NATIVE_DIR / "marlin_bn254.cc"
+_SRC_DEPS = (_NATIVE_DIR / "groth16_bn254.cc",)
 _CACHE_DIR = Path(
     os.environ.get(
         "CKB_ZKP_TPU_NATIVE_CACHE", os.path.expanduser("~/.cache/ckb_zkp_tpu_native")
@@ -31,10 +35,10 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> Path:
-    src = _SRC.read_bytes()
+    src = _SRC.read_bytes() + b"".join(d.read_bytes() for d in _SRC_DEPS)
     tag = hashlib.sha256(src).hexdigest()[:16]
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    out = _CACHE_DIR / f"groth16_bn254-{tag}.so"
+    out = _CACHE_DIR / f"ckb_zkp_native-{tag}.so"
     if out.exists():
         return out
     tmp = out.with_suffix(".so.tmp")
@@ -67,6 +71,14 @@ def _load():
     ]
     lib.groth16_bn254_selftest.restype = ctypes.c_int
     lib.groth16_bn254_selftest.argtypes = []
+    lib.marlin_verify_bn254.restype = ctypes.c_int
+    lib.marlin_verify_bn254.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.marlin_bn254_selftest.restype = ctypes.c_int
+    lib.marlin_bn254_selftest.argtypes = []
     _lib = lib
     return lib
 
@@ -89,4 +101,21 @@ def groth16_verify_bn254(vk: bytes, proof: bytes, publics: bytes) -> int:
     lib = _load()
     return int(
         lib.groth16_verify_bn254(vk, len(vk), proof, len(proof), publics, len(publics))
+    )
+
+
+def marlin_selftest() -> int:
+    """0 on success; nonzero identifies the failing component."""
+    return int(_load().marlin_bn254_selftest())
+
+
+def marlin_verify_bn254(vk: bytes, proof: bytes, publics: bytes) -> int:
+    """Cell-data Marlin verify: 0 = accept, 1 = encoding error, 2 = reject.
+
+    Same cells as contracts.universal_marlin_verifier (reference:
+    universal_marlin_verifier/src/entry.rs): ivk, proof, publics in ark-0.2
+    compressed encodings."""
+    lib = _load()
+    return int(
+        lib.marlin_verify_bn254(vk, len(vk), proof, len(proof), publics, len(publics))
     )

@@ -386,13 +386,16 @@ def _mxu_prep(kern_fn, extra, F, sb, p_limbs, np_limbs):
         return functools.partial(kern_fn, F, *extra), (), ()
     m1np, m2np, rs1, rs2 = mxu_band_consts(p_limbs, np_limbs, sb)
     # band matrices are small (<= 192 KB int8) — embedded as compiled
-    # literals via jnp constants, one VMEM-resident block each
+    # literals, one VMEM-resident block each. They stay NUMPY in this
+    # (lru-cached) closure: converting to jnp here would capture a tracer
+    # constant when the first caller is itself inside a trace, leaking it
+    # into every later trace that reuses the cache entry.
     kern = functools.partial(_mxu_wrap, kern_fn, extra, F, rs1, rs2)
     specs = tuple(
         pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for m in (m1np, m2np)
     )
-    return kern, (jnp.asarray(m1np), jnp.asarray(m2np)), specs
+    return kern, (m1np, m2np), specs
 
 
 @functools.lru_cache(maxsize=None)

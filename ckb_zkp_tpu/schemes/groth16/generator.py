@@ -98,11 +98,17 @@ def generate_parameters_from_shape(
         # arrays embed as literals and blow the tunnel's compile-request
         # limit at 2^20, BENCH r3 run 1); the remaining scalar algebra is
         # one jit over those results. Outputs keep pow2-padded shapes.
+        from ...utils import stage, stage_sync
+
         ga_pad = max(8, 1 << max(0, ni - 1).bit_length())
-        lag = qap.domain.evaluate_all_lagrange_coefficients(t)
-        u = qap.a.rmatvec_padded(lag)
-        v = qap.b.rmatvec_padded(lag)
-        w = qap.c.rmatvec_padded(lag)
+        with stage("groth16.setup/lagrange"):
+            lag = qap.domain.evaluate_all_lagrange_coefficients(t)
+            stage_sync(lag)
+        with stage("groth16.setup/rmatvec"):
+            u = qap.a.rmatvec_padded(lag)
+            v = qap.b.rmatvec_padded(lag)
+            w = qap.c.rmatvec_padded(lag)
+            stage_sync((u, v, w))
 
         def _setup_scalars(u, v, w):
             beta_c = fr.const(beta, (1,))

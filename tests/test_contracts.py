@@ -286,3 +286,37 @@ def test_native_groth16_verifier():
     assert contracts.universal_groth16_verifier(
         "bn254", vk_cell, proof_cell, fr_bytes(curve, 10)
     ) == native.groth16_verify_bn254(vk_cell, proof_cell, fr_bytes(curve, 10))
+
+
+def test_native_marlin_verifier():
+    """Native C++ Marlin verifier (native/marlin_bn254.cc) on the same
+    cells as the portable contract (reference:
+    universal_marlin_verifier/src/entry.rs)."""
+    from ckb_zkp_tpu import native
+    from ckb_zkp_tpu.schemes.marlin import marlin
+
+    if not native.available():
+        pytest.skip("g++ unavailable")
+    assert native.marlin_selftest() == 0
+    curve = get_curve("bn254")
+    rng = random.Random(123)
+    srs = marlin.universal_setup(curve, 128, rng)
+    ipk, ivk = marlin.index(srs, Mini.power_off())
+    proof = marlin.create_random_proof(ipk, Mini.power_on(2, 3, 10), rng)
+    vk_cell = ark_encode(curve, ivk)
+    proof_cell = ark_encode(curve, proof)
+    good = _frs(curve, [10])
+    assert native.marlin_verify_bn254(vk_cell, proof_cell, good) == 0
+    assert native.marlin_verify_bn254(vk_cell, proof_cell, _frs(curve, [11])) == 2
+    assert native.marlin_verify_bn254(vk_cell, proof_cell[:-3], good) == 1
+    assert native.marlin_verify_bn254(vk_cell[:-9], proof_cell, good) == 1
+    assert native.marlin_verify_bn254(vk_cell, proof_cell, b"\x07") == 1
+    assert native.marlin_verify_bn254(vk_cell, proof_cell, b"\xff" * 32) == 1
+    # tampered proof bytes: decodes to a wrong point or fails encoding
+    bad = bytearray(proof_cell)
+    bad[40] ^= 0x01
+    assert native.marlin_verify_bn254(vk_cell, bytes(bad), good) in (1, 2)
+    # agreement with the python portable verifier on the same cells
+    assert contracts.universal_marlin_verifier(
+        "bn254", vk_cell, proof_cell, good
+    ) == native.marlin_verify_bn254(vk_cell, proof_cell, good)

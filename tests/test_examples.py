@@ -114,6 +114,84 @@ class _MerkleMembership:
         g.set_membership(cs, n_root, n_leaf)
 
 
+class _Sha256Membership:
+    """merkle_tree_sha256.rs — in-circuit CBMT membership under the full
+    sha256 gadget (reference: gadgets/examples/merkle_tree_sha256.rs).
+    Leaves are 32-byte values; merge = sha256(left || right)."""
+
+    def __init__(self, p: int, index: int, leaves: list[bytes] | None,
+                 n_lemmas: int = 1):
+        self.p = p
+        self.index = index
+        self.leaves = leaves
+        self.n_lemmas = n_lemmas
+
+    def generate_constraints(self, cs: ConstraintSystem) -> None:
+        from ckb_zkp_tpu.gadgets import sha256 as sh
+
+        hasher = sh.AbstractHashSha256(self.p)
+        if self.leaves is not None:
+            def merge(left, right):
+                return sh.sha256_native(left + right)
+
+            tree = cbmt.build_merkle_tree(self.leaves, merge)
+            proof = tree.build_proof(self.index)
+            root, leaf = tree.root(), self.leaves[self.index]
+            lemmas, tree_index = proof.lemmas, proof.index
+        else:
+            root = leaf = None
+            lemmas = [None] * self.n_lemmas
+            tree_index = (1 << self.n_lemmas) - 1 + self.index
+        n_root = sh.AbstractHashSha256Output.alloc_input(cs, root)
+        n_leaf = sh.AbstractHashSha256Output.alloc(cs, leaf)
+        lemma_outs = [
+            sh.AbstractHashSha256Output.alloc(cs, v) for v in lemmas
+        ]
+        g = cbmt.MerkleProofGadget(tree_index, lemma_outs, hasher)
+        g.set_membership(cs, n_root, n_leaf)
+
+
+def test_merkle_tree_sha256_satisfied(curve):
+    """Cheap tier: TestConstraintSystem satisfaction + root binding."""
+    from ckb_zkp_tpu.gadgets.test_constraint_system import TestConstraintSystem
+
+    p = curve.fr.modulus
+    leaves = [bytes([i + 1]) * 32 for i in range(2)]
+    cs = TestConstraintSystem(p)
+    _Sha256Membership(p, 0, leaves).generate_constraints(cs)
+    assert cs.is_satisfied()
+
+
+@pytest.mark.slow
+def test_merkle_tree_sha256_groth16(curve):
+    """merkle_tree_sha256.rs e2e — groth16 proof of sha256-CBMT membership
+    (2-leaf tree, ~45k constraints; multi-minute on CPU)."""
+    rng = random.Random(13)
+    p = curve.fr.modulus
+    leaves = [bytes([i + 1]) * 32 for i in range(2)]
+    from ckb_zkp_tpu.gadgets import sha256 as sh
+
+    def merge(left, right):
+        return sh.sha256_native(left + right)
+
+    tree = cbmt.build_merkle_tree(leaves, merge)
+    root = tree.root()
+    params = groth16.generate_random_parameters(
+        _Sha256Membership(p, 0, None), curve, rng
+    )
+    proof = groth16.create_random_proof(
+        params, _Sha256Membership(p, 0, leaves), rng
+    )
+    pvk = groth16.prepare_verifying_key(curve, params.vk)
+    from ckb_zkp_tpu.gadgets.sha256 import bytes_to_bits_be
+
+    root_inputs = [1 if b else 0 for b in bytes_to_bits_be(root)]
+    assert groth16.verify_proof(curve, pvk, proof, root_inputs)
+    bad = list(root_inputs)
+    bad[0] = 1 - bad[0]
+    assert not groth16.verify_proof(curve, pvk, proof, bad)
+
+
 def test_merkle_tree_mimc_groth16(curve):
     """merkle_tree_mimc.rs — groth16 proof of CBMT membership."""
     rng = random.Random(11)
