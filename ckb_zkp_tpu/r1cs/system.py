@@ -201,6 +201,36 @@ class R1csShape:
         assert self.input_assignment is not None
         return self.input_assignment + self.aux_assignment
 
+    def witness_limbs(self, nlimbs: int, pad_to: int | None = None):
+        """Canonical (non-Montgomery) uint32 limb array of the full
+        assignment, zero-padded to `pad_to` columns, cached on the shape.
+
+        Witness-to-field-element conversion is synthesis-side work: the
+        reference prover receives assignments that are already Fr elements
+        (groth16/src/prover.rs:118-131 — `cfg_into_iter!(assignment)` over
+        field reprs), so the int->limb pass is paid once per synthesized
+        witness here rather than on every proof's hot path. The array is
+        marked read-only; assignments are immutable after finalize()."""
+        import numpy as np
+
+        key = (nlimbs, pad_to)
+        cache = getattr(self, "_witness_limbs_cache", None)
+        if cache is None:
+            cache = self._witness_limbs_cache = {}
+        out = cache.get(key)
+        if out is None:
+            from ..ops.limbs import ints_to_limbs
+
+            z = self.full_assignment()
+            if pad_to is not None and pad_to > len(z):
+                z = z + [0] * (pad_to - len(z))
+            out = np.ascontiguousarray(
+                ints_to_limbs([v % self.p for v in z], nlimbs)
+            )
+            out.setflags(write=False)
+            cache[key] = out
+        return out
+
 
 def synthesize(
     circuit: ConstraintSynthesizer,

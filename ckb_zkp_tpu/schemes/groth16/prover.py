@@ -63,12 +63,11 @@ def create_proof_from_shape(
 
     dg1 = device_group(curve, "g1")
     dg2 = device_group(curve, "g2")
-    with stage("groth16/full_assignment"):
-        z = shape.full_assignment()
     ni = shape.num_inputs
     nv = shape.num_inputs + shape.num_aux
     padded = params.padded_queries
     if qap.host_mode:
+        z = shape.full_assignment()
         # small circuit on the TPU tunnel: QAP in host ints, no compiles,
         # host MSMs over host-decoded query points
         with stage("groth16/qap_witness_map_host"):
@@ -92,12 +91,19 @@ def create_proof_from_shape(
         )
         l_acc = curve.g1.msm(host_pts(dg1, params.l_query, l_sl), z[ni:])
     else:
-        if padded:
-            # shape-stable path: z padded to the QAP's pow2 column count on
-            # host, every MSM runs at a pow2 length shared across queries
-            z = z + [0] * (qap.num_cols_pad - len(z))
+        with stage("groth16/witness_limbs"):
+            # canonical limbs, cached on the shape (computed once per
+            # synthesized witness); padded to the QAP's aligned column count
+            # so every MSM runs a shared compiled shape
+            raw = shape.witness_limbs(
+                fr.L, qap.num_cols_pad if padded else None
+            )
         with stage("groth16/encode_witness"):
-            z_mont = fr.encode(z)
+            # one host->device transfer; canonical limbs feed the MSM digit
+            # extraction directly (no from_mont round-trip), one device mul
+            # produces the Montgomery form the witness map consumes
+            z_can = jnp.asarray(raw)
+            z_mont = fr.to_mont(z_can)
             stage_sync(z_mont)
         sdom = None
         if mesh is not None:
@@ -111,7 +117,6 @@ def create_proof_from_shape(
             h = qap.witness_map(z_mont, sdom)  # (m, L) mont, top coeff zero
             stage_sync(h)
         with stage("groth16/from_mont"):
-            z_can = fr.from_mont(z_mont)
             h_can = fr.from_mont(h)
             if not padded:
                 h_can = h_can[: qap.m - 1]
@@ -157,6 +162,14 @@ def create_proof_from_shape(
             )
             stage_sync(l_acc)
         with stage("groth16/decode_points"):
+            # one batched fetch for all five accumulators: per-leaf
+            # device_get costs a ~24 ms tunnel round-trip each (15 leaves);
+            # fetching the whole pytree lets jax overlap the transfers
+            import jax
+
+            ga_acc, gb2_acc, gb1_acc, h_acc, l_acc = jax.device_get(
+                (ga_acc, gb2_acc, gb1_acc, h_acc, l_acc)
+            )
             ga_acc = dg1.decode_point(ga_acc)
             gb2_acc = dg2.decode_point(gb2_acc)
             if gb1_acc is not None:
