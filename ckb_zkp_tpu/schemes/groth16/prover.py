@@ -100,11 +100,8 @@ def create_proof_from_shape(
             )
         with stage("groth16/encode_witness"):
             # one host->device transfer; canonical limbs feed the MSM digit
-            # extraction directly (no from_mont round-trip), one device mul
-            # produces the Montgomery form the witness map consumes
+            # extraction directly (no from_mont round-trip)
             z_can = jnp.asarray(raw)
-            z_mont = fr.to_mont(z_can)
-            stage_sync(z_mont)
         sdom = None
         if mesh is not None:
             from ...parallel.mesh import SHARD_AXIS
@@ -113,21 +110,34 @@ def create_proof_from_shape(
             d = mesh.shape[SHARD_AXIS]
             if qap.m >= d * d:  # four-step needs d | n1 and d | n2
                 sdom = get_sharded_domain(curve.fr, qap.m, mesh)
-        with stage("groth16/qap_witness_map"):
-            h = qap.witness_map(z_mont, sdom)  # (m, L) mont, top coeff zero
-            stage_sync(h)
-        with stage("groth16/from_mont"):
-            h_can = fr.from_mont(h)
-            if not padded:
-                h_can = h_can[: qap.m - 1]
-            elif qap.num_cols_pad > qap.m:
-                # h_query is padded to the shared query width (generator.py);
-                # pad h the same so every G1 MSM runs the one compiled program
-                h_can = jnp.concatenate(
-                    [h_can, jnp.zeros((qap.num_cols_pad - qap.m, h_can.shape[1]),
-                                      h_can.dtype)], axis=0
-                )
-            stage_sync((z_can, h_can))
+        if sdom is None and qap.m >= QapMatrices.FUSED_MIN:
+            with stage("groth16/qap_witness_map"):
+                # ONE compiled program: to_mont + matvecs + 6 NTTs +
+                # quotient + from_mont (each tunnel dispatch costs ~25 ms)
+                hpad = max(qap.num_cols_pad, qap.m) if padded else qap.m
+                h_can = qap.witness_map_fused(z_can, out_len=hpad)
+                if not padded:
+                    h_can = h_can[: qap.m - 1]
+                stage_sync(h_can)
+        else:
+            with stage("groth16/qap_witness_map"):
+                z_mont = fr.to_mont(z_can)
+                h = qap.witness_map(z_mont, sdom)  # (m, L) mont
+                stage_sync(h)
+            with stage("groth16/from_mont"):
+                h_can = fr.from_mont(h)
+                if not padded:
+                    h_can = h_can[: qap.m - 1]
+                elif qap.num_cols_pad > qap.m:
+                    # h_query is padded to the shared query width
+                    # (generator.py); pad h the same so every G1 MSM runs
+                    # the one compiled program
+                    h_can = jnp.concatenate(
+                        [h_can,
+                         jnp.zeros((qap.num_cols_pad - qap.m, h_can.shape[1]),
+                                   h_can.dtype)], axis=0
+                    )
+                stage_sync((z_can, h_can))
 
         if mesh is not None:
             from ...parallel.msm import msm_sharded

@@ -8,6 +8,8 @@ instance/witness maps (r1cs_to_qap.rs:80-95, :139-142).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -211,6 +213,78 @@ class QapMatrices:
         cc = tdom.coset_ntt(tdom.intt(c))
         q = df.sub(df.mul(ca, cb), cc)
         return tdom.coset_intt(dom.divide_by_vanishing_poly_on_coset(q))
+
+    # ---- fused single-program witness map (TPU-tunnel dispatch economy) ----
+    # Every dispatch through the tunnel costs ~25 ms of host wall-clock; the
+    # unfused witness map issues ~12 (3 matvecs, 6 four-step cores, pointwise
+    # glue). One jitted program also lets XLA fuse the pointwise chains into
+    # the transform stages. Only built for four-step-sized domains.
+    FUSED_MIN = 1 << 14
+
+    @functools.cached_property
+    def _fused_core(self):
+        from ...ops.ntt_large import get_fourstep_domain
+
+        tdom = get_fourstep_domain(self.spec, self.m)
+        df, dom = self.df, self.domain
+
+        @functools.partial(jax.jit, static_argnames=("out_len",))
+        def core(z_can, ac, acf, ar, bc, bcf, br, cc_, ccf, cr,
+                 grid_f, grid_i, *, out_len):
+            z_mont = df.to_mont(z_can)
+            a = self.a._gather_mul_reduce(z_mont, ac, acf, ar, out_len=self.m)
+            b = self.b._gather_mul_reduce(z_mont, bc, bcf, br, out_len=self.m)
+            c = self.c._gather_mul_reduce(z_mont, cc_, ccf, cr, out_len=self.m)
+            ea = tdom._fft_core(
+                tdom._fft_core(a, grid_i, inverse=True, coset=False),
+                grid_f, inverse=False, coset=True,
+            )
+            eb = tdom._fft_core(
+                tdom._fft_core(b, grid_i, inverse=True, coset=False),
+                grid_f, inverse=False, coset=True,
+            )
+            ec = tdom._fft_core(
+                tdom._fft_core(c, grid_i, inverse=True, coset=False),
+                grid_f, inverse=False, coset=True,
+            )
+            q = dom.divide_by_vanishing_poly_on_coset(
+                df.sub(df.mul(ea, eb), ec)
+            )
+            h = tdom._fft_core(q, grid_i, inverse=True, coset=True)
+            h_can = df.from_mont(h)
+            if out_len > self.m:
+                h_can = jnp.concatenate(
+                    [h_can,
+                     jnp.zeros((out_len - self.m, h_can.shape[1]), h_can.dtype)],
+                    axis=0,
+                )
+            return h_can[:out_len]
+
+        return core
+
+    def witness_map_fused(self, z_can, out_len: int):
+        """Canonical witness limbs -> canonical h scalars (out_len, L), the
+        whole QAP reduction (to_mont + matvecs + 6 NTTs + quotient +
+        from_mont) as ONE compiled program / ONE dispatch."""
+        from ...ops.ntt_large import get_fourstep_domain
+
+        tdom = get_fourstep_domain(self.spec, self.m)
+        a, b, c = self.a, self.b, self.c
+        if z_can.shape[0] < a.num_cols_pad:  # shape-stable compile cache
+            z_can = jnp.concatenate(
+                [z_can,
+                 jnp.zeros((a.num_cols_pad - z_can.shape[0], z_can.shape[1]),
+                           z_can.dtype)],
+                axis=0,
+            )
+        return self._fused_core(
+            z_can,
+            a.r_cols, a.r_coeffs, a.r_rows,
+            b.r_cols, b.r_coeffs, b.r_rows,
+            c.r_cols, c.r_coeffs, c.r_rows,
+            tdom._grid(False), tdom._grid(True),
+            out_len=out_len,
+        )
 
     def evaluations_at(self, t: int):
         """u_i(t), v_i(t), w_i(t) for every variable i (setup instance map)."""

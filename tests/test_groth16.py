@@ -106,3 +106,33 @@ def test_groth16_bench_circuits_end_to_end():
         assert groth16.verify_proof(
             curve, pvk, proof_zk, shape.input_assignment[1:]
         )
+
+
+def test_witness_map_fused_matches_unfused():
+    """The single-program fused witness map (qap.witness_map_fused) is
+    bit-identical to the staged to_mont -> witness_map -> from_mont path at
+    a four-step-sized domain (m = 2^14 = QapMatrices.FUSED_MIN)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ckb_zkp_tpu.bench_circuits import square_chain_shape
+    from ckb_zkp_tpu.ops.field import device_field
+    from ckb_zkp_tpu.schemes.groth16.qap import QapMatrices
+
+    curve = get_curve("bn254")
+    fr = device_field(curve.fr)
+    shape = square_chain_shape((1 << 14) - 2, curve.fr.modulus)
+    qap = QapMatrices(shape, curve.fr, host_mode=False)
+    assert qap.m == QapMatrices.FUSED_MIN
+
+    raw = shape.witness_limbs(fr.L, qap.num_cols_pad)
+    z_can = jnp.asarray(raw)
+    hpad = max(qap.num_cols_pad, qap.m)
+    h_fused = qap.witness_map_fused(z_can, out_len=hpad)
+
+    h = qap.witness_map(fr.to_mont(z_can))
+    h_can = fr.from_mont(h)
+    np.testing.assert_array_equal(
+        np.asarray(h_fused[: qap.m]), np.asarray(h_can)
+    )
+    assert not np.asarray(h_fused[qap.m :]).any()
