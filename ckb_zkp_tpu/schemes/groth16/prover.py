@@ -73,23 +73,33 @@ def create_proof_from_shape(
         with stage("groth16/qap_witness_map_host"):
             h_ints = qap.witness_map_host(z)
 
-        def host_pts(dg, q, sl):
-            return dg.decode_points_host(q)[sl]
+        # query points are fixed per circuit: decode once, cache on params
+        pts_cache = getattr(params, "_host_pts_cache", None)
+        if pts_cache is None:
+            pts_cache = params._host_pts_cache = {}
 
-        ga_acc = curve.g1.msm(host_pts(dg1, params.a_query, slice(nv)), z)
-        gb2_acc = curve.g2.msm(host_pts(dg2, params.b_g2_query, slice(nv)), z)
+        def host_pts(key, dg, q, sl):
+            pts = pts_cache.get(key)
+            if pts is None:
+                pts = pts_cache[key] = dg.decode_points_host(q)
+            return pts[sl]
+
+        ga_acc = curve.g1.msm(host_pts("a", dg1, params.a_query, slice(nv)), z)
+        gb2_acc = curve.g2.msm(
+            host_pts("b2", dg2, params.b_g2_query, slice(nv)), z
+        )
         gb1_acc = (
-            curve.g1.msm(host_pts(dg1, params.b_g1_query, slice(nv)), z)
+            curve.g1.msm(host_pts("b1", dg1, params.b_g1_query, slice(nv)), z)
             if r != 0
             else None
         )
         h_acc = curve.g1.msm(
-            host_pts(dg1, params.h_query, slice(qap.m - 1)), h_ints
+            host_pts("h", dg1, params.h_query, slice(qap.m - 1)), h_ints
         )
         l_sl = (
             slice(ni, ni + shape.num_aux) if padded else slice(shape.num_aux)
         )
-        l_acc = curve.g1.msm(host_pts(dg1, params.l_query, l_sl), z[ni:])
+        l_acc = curve.g1.msm(host_pts("l", dg1, params.l_query, l_sl), z[ni:])
     else:
         with stage("groth16/witness_limbs"):
             # canonical limbs, cached on the shape (computed once per
