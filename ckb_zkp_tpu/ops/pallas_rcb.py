@@ -54,6 +54,12 @@ _INTERPRET = os.environ.get("CKB_ZKP_TPU_PALLAS_INTERPRET", "0") not in ("", "0"
 # schoolbook product + carries. Bit-identical to the VPU-only path
 # (tests/test_pallas_field.py). Opt out with CKB_ZKP_TPU_MXU=0.
 _USE_MXU = os.environ.get("CKB_ZKP_TPU_MXU", "1") not in ("", "0")
+# The Fq2 (G2) kernels issue 3 MXU reduces per Karatsuba multiply; the
+# resulting Mosaic program HANGS the remote TPU compiler (two >30 min
+# attempts, round 5) where the VPU-only G2 program compiles in minutes.
+# Keep the MXU reduce G1-only until the G2 program is validated end-to-end;
+# opt back in with CKB_ZKP_TPU_MXU_G2=1.
+_USE_MXU_G2 = os.environ.get("CKB_ZKP_TPU_MXU_G2", "0") not in ("", "0")
 
 SUBS = 8  # sublanes per block (1024 lanes per grid step)
 
@@ -382,7 +388,7 @@ def _mxu_prep(kern_fn, extra, F, sb, p_limbs, np_limbs):
     """(kern, extra_inputs, extra_specs): wraps kern_fn with the MXU shim
     when enabled, else binds it plainly. `extra` is the static-arg tuple
     between F and the refs (the scan kernels' (B,), or ())."""
-    if not _USE_MXU:
+    if not _USE_MXU or (F.ext != 1 and not _USE_MXU_G2):
         return functools.partial(kern_fn, F, *extra), (), ()
     m1np, m2np, rs1, rs2 = mxu_band_consts(p_limbs, np_limbs, sb)
     # band matrices are small (<= 192 KB int8) — embedded as compiled
