@@ -173,6 +173,10 @@ def _bench_at(k: int, record: bool, curve):
     p = curve.fr.modulus
     tag = f"2^{k}"
     baseline_s = 15.0 * n / (1 << 20)
+    # headline = the DEEPEST completed prove: legs run deepest-first (the
+    # warm-cached headline gets first claim on the budget), so a later,
+    # smaller leg must not overwrite the recorded metric
+    record = record and k >= int(STATE["extra"].get("recorded_k", 0))
 
     set_stage(f"build_{tag}")
     shape = square_chain_shape(n, p)
@@ -216,6 +220,7 @@ def _bench_at(k: int, record: bool, curve):
             "0.9e6 pts/s + FFTs, linear in N; arkworks+rayon 16-core "
             "estimate (reference publishes no prover numbers)"
         )
+        STATE["extra"]["recorded_k"] = k
         STATE["value"] = round(prove_s * 1000.0, 3)
         STATE["vs_baseline"] = round(baseline_s / prove_s, 3)
     checkpoint()
@@ -233,9 +238,11 @@ def _bench_at(k: int, record: bool, curve):
 
 
 def child_main() -> None:
+    # deepest first: the headline (2^20) claims the budget while its
+    # compiled programs are warm-cached; smaller legs follow if time permits
     ks = [
         int(x)
-        for x in os.environ.get("BENCH_LOG2S", "16,20").split(",")
+        for x in os.environ.get("BENCH_LOG2S", "20,16").split(",")
         if x.strip()
     ]
     STATE["metric"] = f"groth16_prove_bn254_2^{ks[0]}"
@@ -279,7 +286,9 @@ def child_main() -> None:
             STATE["extra"][f"skipped_2^{k}"] = "budget"
             checkpoint()
             continue
-        last = _bench_at(k, record=True, curve=curve)
+        res = _bench_at(k, record=True, curve=curve)
+        if last is None or k == max(ks):
+            last = res  # MSM sub-metrics come from the deepest leg
 
     if last is not None and remaining() > 45:
         set_stage("msm_sub")
