@@ -61,6 +61,12 @@ from .scan_utils import (
 
 _RCB_B = 32  # scan-kernel block: elements per in-register accumulation
 
+import os as _os
+
+# G2 (Fq2) device MSMs run at POW2 widths (see DeviceCurveGroup.msm): the
+# exact-aligned non-pow2 G2 scan program hangs the remote TPU compiler.
+_G2_ALIGNED = _os.environ.get("CKB_ZKP_TPU_G2_ALIGNED", "0") not in ("", "0")
+
 
 def _rcb_align(rg) -> int:
     from .pallas_rcb import scan_tile_align
@@ -543,13 +549,29 @@ class DeviceCurveGroup:
             pts = self.decode_points_host(P)
             ss = self._scalars_host(scalars)
             return self.encode_point(self.host_group.msm(pts, ss))
+        n_pts = jax.tree.leaves(P)[0].shape[0]
+        if n_pts > n:
+            # points pre-padded wider than the scalars (pow2-padded G2
+            # query arrays): zero-extend the scalars to match
+            scalars = jnp.concatenate(
+                [scalars,
+                 jnp.zeros((n_pts - n, scalars.shape[1]), scalars.dtype)],
+                axis=0,
+            )
+            n = n_pts
         min_n = 8
         if self._use_rcb and self.fq.use_pallas:
             # pad every device MSM up to the scan kernels' tile alignment:
             # one compiled graph serves all mid sizes and the in-kernel path
-            # beats a 32-step XLA scan even on mostly-identity padding
+            # beats a 32-step XLA scan even on mostly-identity padding.
+            # G2 stays at POW2 widths: the non-pow2 Fq2 scan program (33
+            # sort operands at e.g. 1081344) never returned from the remote
+            # TPU compiler (3 attempts, 40-60 min each, round 5) while the
+            # pow2 variant is the round-4-proven executable. Exact aligned
+            # widths can be re-enabled with CKB_ZKP_TPU_G2_ALIGNED=1.
             min_n = _rcb_align(rcb_group(self))
-            if n % min_n == 0:
+            if n % min_n == 0 and (self.group != "g2" or _G2_ALIGNED
+                                   or n & (n - 1) == 0):
                 return self._msm_jit(tuple(P), scalars)
         np2 = max(min_n, 1 << (n - 1).bit_length())
         if np2 != n:
@@ -978,11 +1000,14 @@ class DeviceCurveGroup:
             table = table.table
         n = scalars.shape[0]
         align = _rcb_align(rcb_group(self)) if self._use_rcb else 0
-        if self.fq.use_pallas and align and n >= align:
+        if (self.fq.use_pallas and align and n >= align
+                and (self.group != "g2" or _G2_ALIGNED)):
             # align-pad like the variable-base entry: query arrays keep the
             # exact generator width so prover MSMs skip the pow2 waste
             np2 = -(-n // align) * align
         else:
+            # G2 queries pow2-pad here so the prover-side pow2 guard in
+            # msm() never re-pads per proof
             np2 = max(8, 1 << (n - 1).bit_length())
         if np2 != n:
             pad_fn = np.pad if isinstance(scalars, np.ndarray) else jnp.pad
