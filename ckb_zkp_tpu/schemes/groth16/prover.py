@@ -110,8 +110,16 @@ def create_proof_from_shape(
             )
         with stage("groth16/encode_witness"):
             # one host->device transfer; canonical limbs feed the MSM digit
-            # extraction directly (no from_mont round-trip)
-            z_can = jnp.asarray(raw)
+            # extraction directly (no from_mont round-trip). The device
+            # array is cached on the shape alongside the host limbs: the
+            # 64 MB upload at 2^20 costs ~1 s through the TPU tunnel and
+            # the synthesized witness is immutable
+            cache = getattr(shape, "_z_can_dev", None)
+            if cache is None:
+                cache = shape._z_can_dev = {}
+            z_can = cache.get(raw.shape)
+            if z_can is None:
+                z_can = cache[raw.shape] = jnp.asarray(raw)
         sdom = None
         if mesh is not None:
             from ...parallel.mesh import SHARD_AXIS
